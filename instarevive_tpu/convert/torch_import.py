@@ -1,0 +1,224 @@
+"""PyTorch checkpoint -> flax params converters.
+
+Checkpoint fidelity is a hard requirement (SURVEY.md §7 "hard parts"):
+the released weights come in three foreign formats (Lightning ``.ckpt``,
+PixArt ``.pth``, diffusers). These converters do the key surgery into our
+flax trees. Layout rules:
+
+  * conv:   torch OIHW        -> flax HWIO   (transpose 2,3,1,0)
+  * dense:  torch (out, in)   -> flax (in, out) (transpose)
+  * norm:   weight -> scale, bias -> bias
+
+Tensors are accepted as anything with ``.numpy()`` or ndarray-convertible,
+so callers can feed ``torch.load(..., map_location='cpu')`` state dicts
+without this module importing torch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach()
+    if hasattr(t, "numpy"):
+        t = t.numpy()
+    return np.asarray(t)
+
+
+def conv_kernel(t) -> np.ndarray:
+    """OIHW -> HWIO."""
+    return _np(t).transpose(2, 3, 1, 0)
+
+
+def dense_kernel(t) -> np.ndarray:
+    return _np(t).transpose(1, 0)
+
+
+def strip_prefixes(sd: Mapping[str, Any], prefixes=("module.", "model.")) -> Dict[str, Any]:
+    """Strip a leading wrapper prefix if every key carries it
+    (cf. reference utils/common.py:34-51 'module.' stripping)."""
+    out = dict(sd)
+    for p in prefixes:
+        if out and all(k.startswith(p) for k in out):
+            out = {k[len(p):]: v for k, v in out.items()}
+    return out
+
+
+def _set(tree: Dict, path: str, value: np.ndarray) -> None:
+    parts = path.split("/")
+    node = tree
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = value
+
+
+def _conv(tree, flax_path, sd, torch_path):
+    _set(tree, flax_path + "/kernel", conv_kernel(sd[torch_path + ".weight"]))
+    _set(tree, flax_path + "/bias", _np(sd[torch_path + ".bias"]))
+
+
+def _dense(tree, flax_path, sd, torch_path):
+    _set(tree, flax_path + "/kernel", dense_kernel(sd[torch_path + ".weight"]))
+    _set(tree, flax_path + "/bias", _np(sd[torch_path + ".bias"]))
+
+
+def _norm(tree, flax_path, sd, torch_path):
+    _set(tree, flax_path + "/scale", _np(sd[torch_path + ".weight"]))
+    _set(tree, flax_path + "/bias", _np(sd[torch_path + ".bias"]))
+
+
+def swinir_params_from_torch(
+    sd: Mapping[str, Any],
+    depths=(6,) * 8,
+    upsampler: str = "nearest+conv",
+    sf: int = 8,
+) -> Dict[str, Any]:
+    """Map the reference SwinIR state_dict (diffusion/model/swinir.py) to our
+    flax ``SwinIR`` param tree. Buffers (mean, relative_position_index,
+    attn_mask) are dropped; bias tables are copied as-is."""
+    sd = strip_prefixes(sd)
+    p: Dict[str, Any] = {}
+
+    # conv_first is Sequential(PixelUnshuffle, Conv) when unshuffle else Conv
+    first = "conv_first.1" if "conv_first.1.weight" in sd else "conv_first"
+    _conv(p, "conv_first", sd, first)
+    _norm(p, "patch_norm", sd, "patch_embed.norm")
+
+    for i, depth in enumerate(depths):
+        base = f"layers.{i}.residual_group.blocks"
+        for j in range(depth):
+            blk = f"layers_{i}/blocks_{j}"
+            t = f"{base}.{j}"
+            _norm(p, f"{blk}/norm1", sd, f"{t}.norm1")
+            _norm(p, f"{blk}/norm2", sd, f"{t}.norm2")
+            _dense(p, f"{blk}/attn/qkv", sd, f"{t}.attn.qkv")
+            _dense(p, f"{blk}/attn/proj", sd, f"{t}.attn.proj")
+            _set(
+                p,
+                f"{blk}/attn/relative_position_bias_table",
+                _np(sd[f"{t}.attn.relative_position_bias_table"]),
+            )
+            _dense(p, f"{blk}/mlp/fc1", sd, f"{t}.mlp.fc1")
+            _dense(p, f"{blk}/mlp/fc2", sd, f"{t}.mlp.fc2")
+        _conv(p, f"layers_{i}/conv", sd, f"layers.{i}.conv")
+
+    _norm(p, "norm", sd, "norm")
+    _conv(p, "conv_after_body", sd, "conv_after_body")
+    if upsampler == "nearest+conv":
+        _conv(p, "conv_before_upsample", sd, "conv_before_upsample.0")
+        ups = {4: ("conv_up1", "conv_up2"), 8: ("conv_up1", "conv_up2", "conv_up3")}.get(
+            sf, ("conv_up1",)
+        )
+        for name in ups:
+            _conv(p, name, sd, name)
+        _conv(p, "conv_hr", sd, "conv_hr")
+    _conv(p, "conv_last", sd, "conv_last")
+    return p
+
+
+def _resblock(tree, flax_path, sd, torch_path, has_shortcut):
+    _norm(tree, f"{flax_path}/norm1", sd, f"{torch_path}.norm1")
+    _conv(tree, f"{flax_path}/conv1", sd, f"{torch_path}.conv1")
+    _norm(tree, f"{flax_path}/norm2", sd, f"{torch_path}.norm2")
+    _conv(tree, f"{flax_path}/conv2", sd, f"{torch_path}.conv2")
+    if has_shortcut:
+        _conv(tree, f"{flax_path}/nin_shortcut", sd, f"{torch_path}.nin_shortcut")
+
+
+def _attnblock(tree, flax_path, sd, torch_path):
+    _norm(tree, f"{flax_path}/norm", sd, f"{torch_path}.norm")
+    for n in ("q", "k", "v", "proj_out"):
+        _conv(tree, f"{flax_path}/{n}", sd, f"{torch_path}.{n}")
+
+
+def vae_params_from_torch(
+    sd: Mapping[str, Any],
+    ch_mult=(1, 2, 4, 4),
+    num_res_blocks: int = 2,
+) -> Dict[str, Any]:
+    """Map a CompVis/SD ``AutoencoderKL`` state_dict (ldm/models/autoencoder.py,
+    weight-compatible with sd-vae-ft-ema) to our flax ``AutoencoderKL`` tree."""
+    sd = strip_prefixes(sd)
+    p: Dict[str, Any] = {}
+
+    _conv(p, "encoder/conv_in", sd, "encoder.conv_in")
+    for i in range(len(ch_mult)):
+        for j in range(num_res_blocks):
+            tp = f"encoder.down.{i}.block.{j}"
+            _resblock(p, f"encoder/down_{i}_block_{j}", sd, tp, f"{tp}.nin_shortcut.weight" in sd)
+        if f"encoder.down.{i}.downsample.conv.weight" in sd:
+            _conv(p, f"encoder/down_{i}_downsample", sd, f"encoder.down.{i}.downsample.conv")
+    _resblock(p, "encoder/mid_block_1", sd, "encoder.mid.block_1", False)
+    _attnblock(p, "encoder/mid_attn_1", sd, "encoder.mid.attn_1")
+    _resblock(p, "encoder/mid_block_2", sd, "encoder.mid.block_2", False)
+    _norm(p, "encoder/norm_out", sd, "encoder.norm_out")
+    _conv(p, "encoder/conv_out", sd, "encoder.conv_out")
+
+    _conv(p, "decoder/conv_in", sd, "decoder.conv_in")
+    _resblock(p, "decoder/mid_block_1", sd, "decoder.mid.block_1", False)
+    _attnblock(p, "decoder/mid_attn_1", sd, "decoder.mid.attn_1")
+    _resblock(p, "decoder/mid_block_2", sd, "decoder.mid.block_2", False)
+    for i in range(len(ch_mult)):
+        for j in range(num_res_blocks + 1):
+            tp = f"decoder.up.{i}.block.{j}"
+            _resblock(p, f"decoder/up_{i}_block_{j}", sd, tp, f"{tp}.nin_shortcut.weight" in sd)
+        if f"decoder.up.{i}.upsample.conv.weight" in sd:
+            _conv(p, f"decoder/up_{i}_upsample", sd, f"decoder.up.{i}.upsample.conv")
+    _norm(p, "decoder/norm_out", sd, "decoder.norm_out")
+    _conv(p, "decoder/conv_out", sd, "decoder.conv_out")
+
+    _conv(p, "quant_conv", sd, "quant_conv")
+    _conv(p, "post_quant_conv", sd, "post_quant_conv")
+    return p
+
+
+def _pixart_block(p, flax_blk, sd, torch_blk, kv_sampling=None):
+    _set(p, f"{flax_blk}/scale_shift_table", _np(sd[f"{torch_blk}.scale_shift_table"]))
+    _dense(p, f"{flax_blk}/attn/qkv", sd, f"{torch_blk}.attn.qkv")
+    _dense(p, f"{flax_blk}/attn/proj", sd, f"{torch_blk}.attn.proj")
+    if f"{torch_blk}.attn.sr.weight" in sd:
+        _conv(p, f"{flax_blk}/attn/sr", sd, f"{torch_blk}.attn.sr")
+        _norm(p, f"{flax_blk}/attn/norm", sd, f"{torch_blk}.attn.norm")
+    if f"{torch_blk}.attn.q_norm.weight" in sd:
+        _norm(p, f"{flax_blk}/attn/q_norm", sd, f"{torch_blk}.attn.q_norm")
+        _norm(p, f"{flax_blk}/attn/k_norm", sd, f"{torch_blk}.attn.k_norm")
+    _dense(p, f"{flax_blk}/cross_attn/q_linear", sd, f"{torch_blk}.cross_attn.q_linear")
+    _dense(p, f"{flax_blk}/cross_attn/kv_linear", sd, f"{torch_blk}.cross_attn.kv_linear")
+    _dense(p, f"{flax_blk}/cross_attn/proj", sd, f"{torch_blk}.cross_attn.proj")
+    _dense(p, f"{flax_blk}/mlp/fc1", sd, f"{torch_blk}.mlp.fc1")
+    _dense(p, f"{flax_blk}/mlp/fc2", sd, f"{torch_blk}.mlp.fc2")
+
+
+def pixart_params_from_torch(sd: Mapping[str, Any], depth: int = 28) -> Dict[str, Any]:
+    """Map the reference PixArt state_dict (diffusion/model/nets/PixArt.py,
+    .pth checkpoints per diffusion/utils/checkpoint.py) to our flax tree.
+    ``pos_embed`` buffers are dropped (we compute PE per shape, matching the
+    reference's own load behavior, checkpoint.py:54-56)."""
+    sd = strip_prefixes(sd)
+    p: Dict[str, Any] = {}
+    _conv(p, "x_embedder", sd, "x_embedder.proj")
+    _dense(p, "t_embedder/fc1", sd, "t_embedder.mlp.0")
+    _dense(p, "t_embedder/fc2", sd, "t_embedder.mlp.2")
+    _dense(p, "t_block", sd, "t_block.1")
+    _dense(p, "y_embedder/y_proj/fc1", sd, "y_embedder.y_proj.fc1")
+    _dense(p, "y_embedder/y_proj/fc2", sd, "y_embedder.y_proj.fc2")
+    if "y_embedder.y_embedding" in sd:
+        _set(p, "y_embedder/y_embedding", _np(sd["y_embedder.y_embedding"]))
+    for i in range(depth):
+        _pixart_block(p, f"blocks_{i}", sd, f"blocks.{i}")
+    _set(p, "final_scale_shift_table", _np(sd["final_layer.scale_shift_table"]))
+    _dense(p, "final_linear", sd, "final_layer.linear")
+
+    # ControlNet-Half blocks if present (pixart_controlnet.py)
+    j = 0
+    while f"controlnet.{j}.copied_block.scale_shift_table" in sd:
+        _pixart_block(p, f"controlnet_{j}", sd, f"controlnet.{j}.copied_block")
+        _dense(p, f"controlnet_{j}_after_proj", sd, f"controlnet.{j}.after_proj")
+        if j == 0:
+            _dense(p, "controlnet_before_proj", sd, "controlnet.0.before_proj")
+        j += 1
+    return p

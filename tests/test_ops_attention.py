@@ -1,0 +1,76 @@
+"""Attention ops: XLA sdpa vs torch SDPA; flash kernel (interpret) vs sdpa."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from instarevive_tpu.ops.attention import flash_attention, sdpa
+
+
+def _rand_qkv(b=2, h=4, nq=64, nk=64, d=32, seed=0):
+    rng = np.random.default_rng(seed)
+    q = rng.standard_normal((b, h, nq, d), dtype=np.float32)
+    k = rng.standard_normal((b, h, nk, d), dtype=np.float32)
+    v = rng.standard_normal((b, h, nk, d), dtype=np.float32)
+    return q, k, v
+
+
+def test_sdpa_matches_torch():
+    q, k, v = _rand_qkv()
+    ref = F.scaled_dot_product_attention(
+        torch.from_numpy(q), torch.from_numpy(k), torch.from_numpy(v)
+    ).numpy()
+    out = np.asarray(sdpa(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_sdpa_kv_mask_matches_torch_bias():
+    q, k, v = _rand_qkv(nq=32, nk=48, seed=1)
+    mask = np.zeros((2, 48), dtype=bool)
+    mask[0, :20] = True
+    mask[1, :37] = True
+    bias = np.where(mask[:, None, None, :], 0.0, -np.inf).astype(np.float32)
+    ref = F.scaled_dot_product_attention(
+        torch.from_numpy(q),
+        torch.from_numpy(k),
+        torch.from_numpy(v),
+        attn_mask=torch.from_numpy(bias),
+    ).numpy()
+    out = np.asarray(
+        sdpa(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), kv_mask=jnp.asarray(mask))
+    )
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("nk_mask", [None, 300])
+def test_flash_matches_sdpa_interpret(nk_mask):
+    # Run the Pallas kernel in interpret mode on CPU.
+    q, k, v = _rand_qkv(b=1, h=2, nq=256, nk=512, d=64, seed=2)
+    kv_mask = None
+    if nk_mask is not None:
+        kv_mask = np.zeros((1, 512), dtype=bool)
+        kv_mask[0, :nk_mask] = True
+
+    ref = sdpa(
+        jnp.asarray(q),
+        jnp.asarray(k),
+        jnp.asarray(v),
+        kv_mask=None if kv_mask is None else jnp.asarray(kv_mask),
+    )
+    with jax.disable_jit():
+        from jax.experimental.pallas import tpu as pltpu
+
+        with pltpu.force_tpu_interpret_mode():
+            out = flash_attention(
+                jnp.asarray(q),
+                jnp.asarray(k),
+                jnp.asarray(v),
+                kv_mask=None if kv_mask is None else jnp.asarray(kv_mask),
+                block_q=128,
+                block_k=128,
+            )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
