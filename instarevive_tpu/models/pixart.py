@@ -40,12 +40,12 @@ from instarevive_tpu.ops.attention import attention, sdpa
 def sincos_pos_embed_2d(
     dim: int, h: int, w: int, pe_interpolation: float = 1.0, base_size: int = 16
 ) -> np.ndarray:
-    """2-D sin-cos PE, PixArt convention (PixArt.py:258-307): half the dim
-    encodes the (scaled) row coordinate, half the column; each half is
-    [sin | cos]."""
+    """2-D sin-cos PE, PixArt convention (PixArt.py:258-307): tokens are
+    row-major over (h, w); the FIRST half of the dim encodes the (scaled)
+    column coordinate, the second half the row; each half is [sin | cos]."""
     gh = np.arange(h, dtype=np.float64) / (h / base_size) / pe_interpolation
     gw = np.arange(w, dtype=np.float64) / (w / base_size) / pe_interpolation
-    grid_w, grid_h = np.meshgrid(gw, gh)  # row-major over (h, w)
+    grid_w, grid_h = np.meshgrid(gw, gh)  # each (h, w); row-major flatten
 
     def embed_1d(pos):
         omega = np.arange(dim // 4, dtype=np.float64) / (dim / 4.0)
@@ -53,7 +53,7 @@ def sincos_pos_embed_2d(
         out = np.einsum("m,d->md", pos.reshape(-1), omega)
         return np.concatenate([np.sin(out), np.cos(out)], axis=1)
 
-    emb = np.concatenate([embed_1d(grid_h), embed_1d(grid_w)], axis=1)
+    emb = np.concatenate([embed_1d(grid_w), embed_1d(grid_h)], axis=1)
     return emb.astype(np.float32)  # (h*w, dim)
 
 
@@ -246,11 +246,11 @@ class PixArt(nn.Module):
         return self.in_channels * 2 if self.pred_sigma else self.in_channels
 
     @nn.compact
-    def __call__(self, x, timestep, y, y_mask=None, c_tokens=None, control_depth: int = 0,
+    def __call__(self, x, timestep, y, y_mask=None, c=None, control_depth: int = 0,
                  train: bool = False, y_drop_rng=None):
         """x: (B, H, W, C) latent NHWC; timestep: (B,); y: (B, L, 4096);
-        y_mask: (B, L) bool; c_tokens: optional pre-embedded ControlNet
-        condition tokens (B, N, D) — used by ControlPixArtHalf.
+        y_mask: (B, L) bool; c: optional ControlNet condition latent
+        (B, H, W, C) — enables the ControlNet-Half path (control_depth > 0).
 
         Returns (B, H, W, out_channels)."""
         b, hh, ww, _ = x.shape
@@ -258,13 +258,19 @@ class PixArt(nn.Module):
         gh, gw = hh // p, ww // p
         base_size = self.input_size // p
 
-        tokens = nn.Conv(
+        x_embedder = nn.Conv(
             self.hidden_size, (p, p), strides=(p, p), dtype=self.dtype, name="x_embedder"
-        )(x).reshape(b, gh * gw, self.hidden_size)
+        )
         pe = jnp.asarray(
             sincos_pos_embed_2d(self.hidden_size, gh, gw, self.pe_interpolation, base_size)
         )
+        tokens = x_embedder(x).reshape(b, gh * gw, self.hidden_size)
         tokens = tokens + pe[None].astype(tokens.dtype)
+        c_tokens = None
+        if c is not None:
+            # forward_c (pixart_controlnet.py:78-86): shared patch embed + PE
+            c_tokens = x_embedder(c).reshape(b, gh * gw, self.hidden_size)
+            c_tokens = c_tokens + pe[None].astype(c_tokens.dtype)
 
         t_emb = TimestepEmbedder(self.hidden_size, dtype=self.dtype, name="t_embedder")(timestep)
         t6 = nn.Dense(6 * self.hidden_size, dtype=self.dtype, name="t_block")(nn.silu(t_emb))
@@ -349,22 +355,6 @@ class PixArt(nn.Module):
             b, gh * p, gw * p, self.out_channels
         )
         return out
-
-    def embed_condition(self, c):
-        """forward_c (pixart_controlnet.py:78-86): patch-embed + PE the
-        ControlNet condition latent. Shares x_embedder weights."""
-        b, hh, ww, _ = c.shape
-        p = self.patch_size
-        gh, gw = hh // p, ww // p
-        tokens = nn.Conv(
-            self.hidden_size, (p, p), strides=(p, p), dtype=self.dtype, name="x_embedder"
-        )(c).reshape(b, gh * gw, self.hidden_size)
-        pe = jnp.asarray(
-            sincos_pos_embed_2d(
-                self.hidden_size, gh, gw, self.pe_interpolation, self.input_size // p
-            )
-        )
-        return tokens + pe[None].astype(tokens.dtype)
 
 
 def pixart_xl_2(**kwargs) -> PixArt:

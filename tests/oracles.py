@@ -145,7 +145,7 @@ def _ensure_pixart_stubs():
                 attn = attn + attn_bias.view(b, h, mq, mk)
         attn = attn.softmax(dim=-1)
         out = attn @ vh
-        return out.permute(0, 2, 1, 3)
+        return out.permute(0, 2, 1, 3).contiguous()
 
     fmha.BlockDiagonalMask = BlockDiagonalMask
     xops.fmha = fmha
@@ -258,5 +258,10 @@ def load_reference_pixart():
 
     pixart = importlib.import_module("diffusion.model.nets.PixArt")
     pixart_ms = importlib.import_module("diffusion.model.nets.PixArtMS")
+    nets_pkg = sys.modules["diffusion.model.nets"]
+    for mod in (pixart, pixart_ms):
+        for attr in ("PixArt", "PixArtBlock", "PixArtMS", "PixArtMSBlock"):
+            if hasattr(mod, attr):
+                setattr(nets_pkg, attr, getattr(mod, attr))
     cn = importlib.import_module("diffusion.model.nets.pixart_controlnet")
     return pixart, pixart_ms, cn
