@@ -265,3 +265,13 @@ def load_reference_pixart():
                 setattr(nets_pkg, attr, getattr(mod, attr))
     cn = importlib.import_module("diffusion.model.nets.pixart_controlnet")
     return pixart, pixart_ms, cn
+
+
+def load_reference_diffusion():
+    """Import reference gaussian_diffusion/respace/dpm_solver standalone."""
+    _ensure_stubs()
+    _load_as("refdiff", "diffusion_utils", f"{_REF}/diffusion/model/diffusion_utils.py")
+    gd = _load_as("refdiff", "gaussian_diffusion", f"{_REF}/diffusion/model/gaussian_diffusion.py")
+    rs = _load_as("refdiff", "respace", f"{_REF}/diffusion/model/respace.py")
+    dpm = _load_as("refdiff", "dpm_solver", f"{_REF}/diffusion/model/dpm_solver.py")
+    return gd, rs, dpm
