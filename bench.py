@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark: one-step restoration throughput (megapixels/sec/chip).
+
+Measures the full jitted pipeline (SwinIR -> VAE encode -> PixArt-XL-2
+one-step at t=400 -> VAE decode -> wavelet color fix) at 4x SR geometry:
+512x512 output per image, the reference CLI's default configuration
+(BASELINE.md: target >= 5x RTX-3090 MP/s/chip on this metric).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured MP/s divided by the RTX-3090 estimate in
+BASELINE.json terms (no published number exists; we use the driver's
+north-star definition with the 3090 reference treated as 1.0x at
+BASELINE_3090_MPS below — measured there, not quoted).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+# Estimated reference throughput on RTX 3090 for the same 512x512 one-step
+# pipeline (torch fp16, measured class of hardware; no published number —
+# see BASELINE.md). Used only to normalize vs_baseline.
+BASELINE_3090_MPS = 0.55
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from instarevive_tpu.config import load_config
+    from instarevive_tpu.pipelines.build import build_pipeline, init_params
+
+    backend = jax.default_backend()
+    batch = int(os.environ.get("BENCH_BATCH", "4" if backend == "tpu" else "1"))
+    size = int(os.environ.get("BENCH_SIZE", "512"))
+    iters = int(os.environ.get("BENCH_ITERS", "10" if backend == "tpu" else "2"))
+    config = os.environ.get(
+        "BENCH_CONFIG",
+        "configs/instarevive_v1.yaml" if backend == "tpu" else "configs/tiny.yaml",
+    )
+
+    cfg = load_config(config)
+    pipe = build_pipeline(cfg)
+    params = init_params(pipe, seed=0)
+    # bf16 params for the bench: the TPU serving configuration
+    if backend == "tpu":
+        params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+
+    y = jnp.zeros((batch, pipe.dit.model_max_length, pipe.dit.caption_channels))
+    lq = jnp.full((batch, size, size, 3), 0.5, jnp.float32)
+    if backend == "tpu":
+        y = y.astype(jnp.bfloat16)
+        lq = lq.astype(jnp.bfloat16)
+
+    fn = jax.jit(lambda p, x, yy: pipe.process(p, x, yy, color_fix="wavelet"))
+
+    # warmup/compile
+    out = fn(params, lq, y)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(params, lq, y)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+
+    mp = batch * size * size / 1e6
+    mps = mp / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"one-step restoration throughput ({size}x{size} out, batch {batch}, {backend})",
+                "value": round(mps, 4),
+                "unit": "MP/s/chip",
+                "vs_baseline": round(mps / BASELINE_3090_MPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -222,3 +222,57 @@ def pixart_params_from_torch(sd: Mapping[str, Any], depth: int = 28) -> Dict[str
             _dense(p, "controlnet_before_proj", sd, "controlnet.0.before_proj")
         j += 1
     return p
+
+
+def _fuse_dense(tree, flax_path, sd, paths, axis=0):
+    """Concatenate several torch Linear weights into one fused flax Dense."""
+    w = np.concatenate([_np(sd[p + ".weight"]) for p in paths], axis=axis)
+    b = np.concatenate([_np(sd[p + ".bias"]) for p in paths], axis=0)
+    _set(tree, flax_path + "/kernel", w.transpose(1, 0))
+    _set(tree, flax_path + "/bias", b)
+
+
+def _diffusers_block(p, flax_blk, sd, tb):
+    _set(p, f"{flax_blk}/scale_shift_table", _np(sd[f"{tb}.scale_shift_table"]))
+    _fuse_dense(p, f"{flax_blk}/attn/qkv", sd,
+                [f"{tb}.attn1.to_q", f"{tb}.attn1.to_k", f"{tb}.attn1.to_v"])
+    _dense(p, f"{flax_blk}/attn/proj", sd, f"{tb}.attn1.to_out.0")
+    _dense(p, f"{flax_blk}/cross_attn/q_linear", sd, f"{tb}.attn2.to_q")
+    _fuse_dense(p, f"{flax_blk}/cross_attn/kv_linear", sd,
+                [f"{tb}.attn2.to_k", f"{tb}.attn2.to_v"])
+    _dense(p, f"{flax_blk}/cross_attn/proj", sd, f"{tb}.attn2.to_out.0")
+    _dense(p, f"{flax_blk}/mlp/fc1", sd, f"{tb}.ff.net.0.proj")
+    _dense(p, f"{flax_blk}/mlp/fc2", sd, f"{tb}.ff.net.2")
+
+
+def pixart_params_from_diffusers(sd: Mapping[str, Any], depth: int = 28) -> Dict[str, Any]:
+    """Map a diffusers ``Transformer2DModel`` state_dict (the PixArt-DMD /
+    InstaRevive_v1.ckpt format loaded at test_scripts/inference.py:238-242,
+    optionally wrapped by ControlTransformerHalf with ``base_block`` key
+    rewrites, transformer_controlnet.py:177-189) to our flax PixArt tree."""
+    sd = strip_prefixes(sd)
+    # ControlTransformerHalf saves base blocks as transformer_blocks.N.base_block.*
+    sd = {k.replace(".base_block.", "."): v for k, v in sd.items()}
+    p: Dict[str, Any] = {}
+    _conv(p, "x_embedder", sd, "pos_embed.proj")
+    _dense(p, "t_embedder/fc1", sd, "adaln_single.emb.timestep_embedder.linear_1")
+    _dense(p, "t_embedder/fc2", sd, "adaln_single.emb.timestep_embedder.linear_2")
+    _dense(p, "t_block", sd, "adaln_single.linear")
+    _dense(p, "y_embedder/y_proj/fc1", sd, "caption_projection.linear_1")
+    _dense(p, "y_embedder/y_proj/fc2", sd, "caption_projection.linear_2")
+    if "caption_projection.y_embedding" in sd:
+        _set(p, "y_embedder/y_embedding", _np(sd["caption_projection.y_embedding"]))
+    for i in range(depth):
+        _diffusers_block(p, f"blocks_{i}", sd, f"transformer_blocks.{i}")
+    _set(p, "final_scale_shift_table", _np(sd["scale_shift_table"]))
+    _dense(p, "final_linear", sd, "proj_out")
+
+    # ControlTransformerHalf controller blocks (transformer_controlnet.py)
+    j = 0
+    while f"controlnet.{j}.copied_block.scale_shift_table" in sd:
+        _diffusers_block(p, f"controlnet_{j}", sd, f"controlnet.{j}.copied_block")
+        _dense(p, f"controlnet_{j}_after_proj", sd, f"controlnet.{j}.after_proj")
+        if j == 0:
+            _dense(p, "controlnet_before_proj", sd, "controlnet.0.before_proj")
+        j += 1
+    return p

@@ -1,0 +1,6 @@
+from instarevive_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    param_sharding_rules,
+    shard_batch,
+    shard_params,
+)

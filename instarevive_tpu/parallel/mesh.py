@@ -1,0 +1,91 @@
+"""Device mesh + sharding: the TPU-native replacement for the reference's
+NCCL DDP/FSDP stack.
+
+Parity target (by capability, not mechanism): reference
+``diffusion/utils/dist_utils.py:1-314`` (torch.distributed/NCCL collectives),
+HF Accelerate DDP (``test_scripts/test_controlnet.py:464-471``) and FSDP
+(TRANSFORMER_BASED_WRAP on PixArtBlock, ``test_controlnet.py:66-70``).
+
+TPU design: one ``jax.sharding.Mesh`` with axes ``('data', 'fsdp')``.
+Data parallelism = batch sharded on 'data'. FSDP/ZeRO-3 = every parameter
+(and its optimizer state) sharded on 'fsdp' along its largest divisible
+axis; XLA inserts all-gathers before use and reduce-scatters for grads —
+the collectives ride ICI automatically. The reference's hand-written
+``all_gather``/``reduce_dict``/``GatherLayer`` helpers collapse into
+``NamedSharding`` annotations (gathers are differentiable natively in JAX).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    data: int = -1,
+    fsdp: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """('data', 'fsdp') mesh. data=-1 = all remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data == -1:
+        if n % fsdp:
+            raise ValueError(f"{n} devices not divisible by fsdp={fsdp}")
+        data = n // fsdp
+    arr = np.asarray(devices[: data * fsdp]).reshape(data, fsdp)
+    return Mesh(arr, ("data", "fsdp"))
+
+
+def param_sharding_rules(path_leaf, mesh: Mesh) -> NamedSharding:
+    """FSDP rule: shard the largest axis divisible by the fsdp size.
+
+    Equivalent in effect to the reference's TRANSFORMER_BASED_WRAP FSDP
+    (per-block full shard): every weight is evenly split across the fsdp
+    axis; scalars/small vectors stay replicated.
+    """
+    leaf = path_leaf
+    size = mesh.shape["fsdp"]
+    if size == 1 or not hasattr(leaf, "shape") or leaf.ndim == 0:
+        return NamedSharding(mesh, P())
+    # pick the largest divisible dim (prefer later dims for conv HWIO -> O)
+    best, best_dim = None, -1
+    for i, d in enumerate(leaf.shape):
+        if d % size == 0 and d >= best_dim:
+            best, best_dim = i, d
+    if best is None or best_dim < size:
+        return NamedSharding(mesh, P())
+    spec = [None] * leaf.ndim
+    spec[best] = "fsdp"
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_params(params: Any, mesh: Mesh) -> Any:
+    """Place a param pytree with FSDP sharding (host->device)."""
+    return jax.tree_util.tree_map(
+        lambda leaf: jax.device_put(leaf, param_sharding_rules(leaf, mesh)), params
+    )
+
+
+def param_shardings(params: Any, mesh: Mesh) -> Any:
+    """The sharding tree (for jit in_shardings/out_shardings)."""
+    return jax.tree_util.tree_map(lambda leaf: param_sharding_rules(leaf, mesh), params)
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Shard leading batch axis over ('data', 'fsdp') jointly — pure data
+    parallelism from the batch's perspective; fsdp ranks see distinct
+    microbatches too (ZeRO-style)."""
+    sh = NamedSharding(mesh, P(("data", "fsdp")))
+    return jax.tree_util.tree_map(lambda leaf: jax.device_put(leaf, sh), batch)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(("data", "fsdp")))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

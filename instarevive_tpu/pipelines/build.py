@@ -1,0 +1,98 @@
+"""Build a RestorationPipeline + params from config + checkpoints.
+
+Checkpoint formats auto-detected per component (SURVEY.md §7 "checkpoint
+fidelity"): SwinIR Lightning .ckpt, CompVis/diffusers VAE, PixArt .pth or
+diffusers Transformer2DModel (the InstaRevive_v1.ckpt format). Missing
+checkpoints fall back to seeded random init (for smoke tests / benches in
+this zero-egress environment).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from instarevive_tpu.convert.torch_import import (
+    pixart_params_from_diffusers,
+    pixart_params_from_torch,
+    swinir_params_from_torch,
+    vae_params_from_torch,
+)
+from instarevive_tpu.diffusion.schedules import make_schedule
+from instarevive_tpu.models.pixart import PixArt
+from instarevive_tpu.models.swinir import SwinIR
+from instarevive_tpu.models.vae import AutoencoderKL
+from instarevive_tpu.pipelines.restore import RestorationPipeline
+
+
+def build_pipeline(cfg: Mapping[str, Any], control_depth: int = 0) -> RestorationPipeline:
+    sw = dict(cfg.get("swinir", {}))
+    sw["depths"] = tuple(sw.get("depths", (6,) * 8))
+    sw["num_heads"] = tuple(sw.get("num_heads", (6,) * 8))
+    vae = dict(cfg.get("vae", {}))
+    vae["ch_mult"] = tuple(vae.get("ch_mult", (1, 2, 4, 4)))
+    dit = dict(cfg.get("dit", {}))
+    sched_cfg = dict(cfg.get("schedule", {"name": "linear", "num_timesteps": 1000}))
+    return RestorationPipeline(
+        swinir=SwinIR(**sw),
+        vae=AutoencoderKL(**vae),
+        dit=PixArt(**dit),
+        sched=make_schedule(sched_cfg.pop("name", "linear"), **sched_cfg),
+        maxt=int(cfg.get("maxt", 400)),
+        control_depth=control_depth,
+    )
+
+
+def init_params(pipe: RestorationPipeline, seed: int = 0) -> Dict[str, Any]:
+    """Seeded random init of all three models (smoke-test path)."""
+    k1, k2, k3 = jax.random.split(jax.random.key(seed), 3)
+    ex_img = jnp.zeros((1, 64, 64, 3))
+    ex_lat = jnp.zeros((1, 8, 8, 4))
+    y = jnp.zeros((1, pipe.dit.model_max_length, pipe.dit.caption_channels))
+    kwargs = {}
+    if pipe.control_depth:
+        kwargs = dict(c=ex_lat, control_depth=pipe.control_depth)
+    return {
+        "swinir": pipe.swinir.init(k1, ex_img)["params"],
+        "vae": pipe.vae.init(k2, ex_img)["params"],
+        "dit": pipe.dit.init(k3, ex_lat, jnp.zeros((1,)), y, **kwargs)["params"],
+    }
+
+
+def load_params(
+    pipe: RestorationPipeline,
+    swinir_ckpt: Optional[str] = None,
+    vae_ckpt: Optional[str] = None,
+    dit_ckpt: Optional[str] = None,
+    seed: int = 0,
+) -> Dict[str, Any]:
+    """Load/convert whatever checkpoints are given; random-init the rest."""
+    from instarevive_tpu.train.checkpoint import load_torch_state_dict
+
+    params = init_params(pipe, seed)
+    if swinir_ckpt:
+        sd = load_torch_state_dict(swinir_ckpt)
+        params["swinir"] = swinir_params_from_torch(
+            sd, depths=pipe.swinir.depths, upsampler=pipe.swinir.upsampler, sf=pipe.swinir.sf
+        )
+    if vae_ckpt:
+        sd = load_torch_state_dict(vae_ckpt)
+        params["vae"] = vae_params_from_torch(
+            sd, ch_mult=pipe.vae.ch_mult, num_res_blocks=pipe.vae.num_res_blocks
+        )
+    if dit_ckpt:
+        sd = load_torch_state_dict(dit_ckpt)
+        if any(k.startswith("transformer_blocks.") or ".base_block." in k for k in sd):
+            converted = pixart_params_from_diffusers(sd, depth=pipe.dit.depth)
+        else:
+            converted = pixart_params_from_torch(sd, depth=pipe.dit.depth)
+        # keep randomly-initialized y_embedding if absent in the checkpoint
+        if "y_embedding" not in converted.get("y_embedder", {}):
+            converted.setdefault("y_embedder", {})["y_embedding"] = np.asarray(
+                params["dit"]["y_embedder"]["y_embedding"]
+            )
+        params["dit"] = converted
+    return params
