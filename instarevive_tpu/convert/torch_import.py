@@ -276,3 +276,97 @@ def pixart_params_from_diffusers(sd: Mapping[str, Any], depth: int = 28) -> Dict
             _dense(p, "controlnet_before_proj", sd, "controlnet.0.before_proj")
         j += 1
     return p
+
+
+def _unet_resblock(p, flax_path, sd, tp):
+    _norm(p, f"{flax_path}/in_norm", sd, f"{tp}.in_layers.0")
+    _conv(p, f"{flax_path}/in_conv", sd, f"{tp}.in_layers.2")
+    _dense(p, f"{flax_path}/emb_proj", sd, f"{tp}.emb_layers.1")
+    _norm(p, f"{flax_path}/out_norm", sd, f"{tp}.out_layers.0")
+    _conv(p, f"{flax_path}/out_conv", sd, f"{tp}.out_layers.3")
+    if f"{tp}.skip_connection.weight" in sd:
+        _conv(p, f"{flax_path}/skip", sd, f"{tp}.skip_connection")
+
+
+def _dense_nobias(tree, flax_path, sd, torch_path):
+    _set(tree, flax_path + "/kernel", dense_kernel(sd[torch_path + ".weight"]))
+
+
+def _unet_st(p, flax_path, sd, tp, depth=1):
+    _norm(p, f"{flax_path}/norm", sd, f"{tp}.norm")
+    _dense(p, f"{flax_path}/proj_in", sd, f"{tp}.proj_in")
+    for d in range(depth):
+        bb = f"{tp}.transformer_blocks.{d}"
+        fb = f"{flax_path}/block_{d}"
+        for n in ("norm1", "norm2", "norm3"):
+            _norm(p, f"{fb}/{n}", sd, f"{bb}.{n}")
+        for an in ("attn1", "attn2"):
+            _dense_nobias(p, f"{fb}/{an}_q", sd, f"{bb}.{an}.to_q")
+            _dense_nobias(p, f"{fb}/{an}_k", sd, f"{bb}.{an}.to_k")
+            _dense_nobias(p, f"{fb}/{an}_v", sd, f"{bb}.{an}.to_v")
+            _dense(p, f"{fb}/{an}_out", sd, f"{bb}.{an}.to_out.0")
+        _dense(p, f"{fb}/ff_proj", sd, f"{bb}.ff.net.0.proj")
+        _dense(p, f"{fb}/ff_out", sd, f"{bb}.ff.net.2")
+    _dense(p, f"{flax_path}/proj_out", sd, f"{tp}.proj_out")
+
+
+def unet_params_from_torch(
+    sd: Mapping[str, Any],
+    channel_mult=(1, 2, 4, 4),
+    num_res_blocks: int = 2,
+    attention_ds=(1, 2, 4),
+    is_controlnet: bool = False,
+) -> Dict[str, Any]:
+    """Map the SD UNetModel / DiffBIR ControlNet state_dict
+    (ldm/modules/diffusionmodules/openaimodel.py, diffusion/cldm.py:59-293)
+    to our flax UNetBackbone tree. Mirrors the construction loop so torch
+    sequential indices line up with our named blocks."""
+    sd = strip_prefixes(sd)
+    p: Dict[str, Any] = {}
+    _dense(p, "time_embed_0", sd, "time_embed.0")
+    _dense(p, "time_embed_2", sd, "time_embed.2")
+    _conv(p, "input_conv", sd, "input_blocks.0.0")
+    if is_controlnet:
+        _conv(p, "zero_conv_0", sd, "zero_convs.0.0")
+
+    ds, ti, zi = 1, 1, 1
+    for level in range(len(channel_mult)):
+        for j in range(num_res_blocks):
+            _unet_resblock(p, f"in_{ti}_res", sd, f"input_blocks.{ti}.0")
+            if ds in attention_ds:
+                _unet_st(p, f"in_{ti}_st", sd, f"input_blocks.{ti}.1")
+            if is_controlnet:
+                _conv(p, f"zero_conv_{zi}", sd, f"zero_convs.{zi}.0")
+            ti += 1
+            zi += 1
+        if level != len(channel_mult) - 1:
+            _conv(p, f"down_{level}", sd, f"input_blocks.{ti}.0.op")
+            if is_controlnet:
+                _conv(p, f"zero_conv_{zi}", sd, f"zero_convs.{zi}.0")
+            ds *= 2
+            ti += 1
+            zi += 1
+
+    _unet_resblock(p, "mid_res1", sd, "middle_block.0")
+    _unet_st(p, "mid_st", sd, "middle_block.1")
+    _unet_resblock(p, "mid_res2", sd, "middle_block.2")
+    if is_controlnet:
+        _conv(p, "zero_conv_mid", sd, "middle_block_out.0")
+        return p
+
+    oi = 0
+    for level in reversed(range(len(channel_mult))):
+        for j in range(num_res_blocks + 1):
+            _unet_resblock(p, f"out_{oi}_res", sd, f"output_blocks.{oi}.0")
+            sub = 1
+            if ds in attention_ds:
+                _unet_st(p, f"out_{oi}_st", sd, f"output_blocks.{oi}.1")
+                sub = 2
+            if level and j == num_res_blocks:
+                _conv(p, f"up_{level}", sd, f"output_blocks.{oi}.{sub}.conv")
+                ds //= 2
+            oi += 1
+
+    _norm(p, "out_norm", sd, "out.0")
+    _conv(p, "out_conv", sd, "out.2")
+    return p

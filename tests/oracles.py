@@ -32,8 +32,11 @@ def _ensure_stubs():
     plu = types.ModuleType("pytorch_lightning.utilities")
     plut = types.ModuleType("pytorch_lightning.utilities.types")
     plut.STEP_OUTPUT = object
+    plrz = types.ModuleType("pytorch_lightning.utilities.rank_zero")
+    plrz.rank_zero_only = lambda fn: fn
     sys.modules["pytorch_lightning.utilities"] = plu
     sys.modules["pytorch_lightning.utilities.types"] = plut
+    sys.modules["pytorch_lightning.utilities.rank_zero"] = plrz
 
     timm = types.ModuleType("timm")
     timm_m = types.ModuleType("timm.models")
@@ -275,3 +278,39 @@ def load_reference_diffusion():
     rs = _load_as("refdiff", "respace", f"{_REF}/diffusion/model/respace.py")
     dpm = _load_as("refdiff", "dpm_solver", f"{_REF}/diffusion/model/dpm_solver.py")
     return gd, rs, dpm
+
+
+def load_reference_cldm():
+    """Import reference diffusion/cldm.py (ControlNet/ControlLDM/Reflow)."""
+    _ensure_stubs()
+    _ensure_pixart_stubs()
+    if _REF not in sys.path:
+        sys.path.insert(0, _REF)
+
+    if "omegaconf" not in sys.modules:
+        oc = types.ModuleType("omegaconf")
+        oc.ListConfig = list
+        lc = types.ModuleType("omegaconf.listconfig")
+        lc.ListConfig = list
+        oc.listconfig = lc
+        sys.modules["omegaconf"] = oc
+        sys.modules["omegaconf.listconfig"] = lc
+    if "torchvision.utils" not in sys.modules:
+        tvu = types.ModuleType("torchvision.utils")
+        tvu.save_image = lambda *a, **k: None
+        tvu.make_grid = lambda x, **k: x
+        sys.modules["torchvision"].utils = tvu
+        sys.modules["torchvision.utils"] = tvu
+    if "diffusers" not in sys.modules:
+        dif = types.ModuleType("diffusers")
+        dif.AutoencoderTiny = type("AutoencoderTiny", (), {})
+        sys.modules["diffusers"] = dif
+    if "utils.common" not in sys.modules:
+        uc = types.ModuleType("utils.common")
+        uc.frozen_module = lambda m: m
+        def _inst(cfg):
+            raise NotImplementedError
+        uc.instantiate_from_config = _inst
+        sys.modules["utils.common"] = uc
+
+    return _load_as("refcldm", "cldm", f"{_REF}/diffusion/cldm.py")
