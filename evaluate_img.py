@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Metric evaluation CLI (reference evaluate_img.py:11-65 equivalent).
+
+Paired metrics (PSNR(Y)/SSIM(Y)/LPIPS with --ref_folder) run on-device; the
+reference's pyiqa no-reference metrics (NIQE/MUSIQ/MANIQA/CLIPIQA) require
+pretrained IQA models unavailable in this zero-egress image — pass
+--lpips_ckpt/--alexnet_ckpt to enable LPIPS from the torch lpips package
+checkpoints.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("-folder", "--folder", required=True, help="output images")
+    p.add_argument("-ref_folder", "--ref_folder", default=None, help="ground-truth images")
+    p.add_argument("--crop_border", type=int, default=4)
+    p.add_argument("--y_channel", action="store_true", default=True)
+    p.add_argument("--lpips_ckpt", default=None)
+    p.add_argument("--alexnet_ckpt", default=None)
+    args = p.parse_args()
+
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from instarevive_tpu.utils.image_io import list_image_files
+    from instarevive_tpu.utils.metrics import LPIPS, psnr, ssim
+
+    files = list_image_files(args.folder)
+    print(f"evaluating {len(files)} images in {args.folder}")
+
+    lpips_fn = None
+    if args.lpips_ckpt and args.alexnet_ckpt:
+        import torch
+
+        lp = LPIPS(
+            LPIPS.alexnet_feature_params_from_torch(
+                torch.load(args.alexnet_ckpt, map_location="cpu"),
+                torch.load(args.lpips_ckpt, map_location="cpu"),
+            )
+        )
+        lpips_fn = lp
+
+    results = {"psnr": [], "ssim": [], "lpips": []}
+    for f in files:
+        img = np.asarray(Image.open(f).convert("RGB"), np.float32)[None] / 255.0
+        if args.ref_folder:
+            ref_path = os.path.join(args.ref_folder, os.path.basename(f))
+            if not os.path.exists(ref_path):
+                base = os.path.splitext(os.path.basename(f))[0]
+                cands = [c for c in list_image_files(args.ref_folder)
+                         if os.path.splitext(os.path.basename(c))[0] == base]
+                if not cands:
+                    continue
+                ref_path = cands[0]
+            ref = np.asarray(Image.open(ref_path).convert("RGB"), np.float32)[None] / 255.0
+            hh = min(img.shape[1], ref.shape[1])
+            ww = min(img.shape[2], ref.shape[2])
+            a, b = jnp.asarray(img[:, :hh, :ww]), jnp.asarray(ref[:, :hh, :ww])
+            results["psnr"].append(float(psnr(a, b, args.crop_border, args.y_channel)[0]))
+            results["ssim"].append(float(ssim(a, b, args.crop_border, args.y_channel)[0]))
+            if lpips_fn is not None:
+                results["lpips"].append(float(lpips_fn(a * 2 - 1, b * 2 - 1)[0]))
+
+    for k, v in results.items():
+        if v:
+            print(f"{k}: {np.mean(v):.4f}  (n={len(v)})")
+
+
+if __name__ == "__main__":
+    main()

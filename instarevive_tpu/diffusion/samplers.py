@@ -1,0 +1,189 @@
+"""Additional samplers: PLMS, LCM, EDM, SA-Solver(-lite).
+
+Parity targets:
+  * PLMS (``ldm/models/diffusion/plms.py``): pseudo linear multistep over
+    DDIM coefficients (Adams-Bashforth on eps),
+  * LCM scheduler (``diffusion/lcm_scheduler.py:32-459``): boundary-condition
+    scalings c_skip/c_out over a subsampled timestep ladder,
+  * EDM (``diffusion/model/edm_sample.py``): Karras sigma schedule + Heun,
+  * SA-Solver (``diffusion/model/sa_solver.py``): stochastic Adams; here the
+    deterministic (tau=0) data-prediction multistep variant, which matches
+    its predictor in the ODE limit.
+
+All loops are lax.scan / unrolled Python over static step counts.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from instarevive_tpu.diffusion.schedules import DiffusionSchedule, extract
+from instarevive_tpu.diffusion import gaussian as G
+
+
+# ---------------------------------------------------------------------------
+# PLMS
+# ---------------------------------------------------------------------------
+
+
+def plms_sample_loop(
+    sched: DiffusionSchedule,
+    model_fn: Callable,
+    shape,
+    rng: jax.Array,
+    noise: Optional[jnp.ndarray] = None,
+    learned_range: bool = True,
+):
+    """PLMS: DDIM transfer using Adams-Bashforth-extrapolated eps."""
+    x = jax.random.normal(rng, shape) if noise is None else noise
+    n = sched.num_timesteps
+    b = shape[0]
+
+    def get_eps(x, idx):
+        t = jnp.full((b,), idx, dtype=jnp.int32)
+        out = model_fn(x, sched.timestep_map[t])
+        if learned_range:
+            out = out[..., : x.shape[-1]]
+        return out
+
+    def transfer(x, eps, idx):
+        t = jnp.full((b,), idx, dtype=jnp.int32)
+        abar = extract(sched.alphas_cumprod, t, x.ndim)
+        abar_prev = extract(sched.alphas_cumprod_prev, t, x.ndim)
+        x0 = (x - jnp.sqrt(1 - abar) * eps) / jnp.sqrt(abar)
+        return jnp.sqrt(abar_prev) * x0 + jnp.sqrt(1 - abar_prev) * eps
+
+    # warm up the multistep buffer with an RK2-style first step
+    idx0 = n - 1
+    e0 = get_eps(x, idx0)
+    x1 = transfer(x, e0, idx0)
+    e1 = get_eps(x1, max(idx0 - 1, 0))
+    e_prime = (e0 + e1) / 2.0
+    x = transfer(x, e_prime, idx0)
+    hist = jnp.stack([e0, e0, e0, e0])  # (4, ...) newest at index 0 below
+
+    def step(carry, idx):
+        x, hist = carry
+        eps = get_eps(x, idx)
+        h0, h1, h2, h3 = hist[0], hist[1], hist[2], hist[3]
+        # 4th-order Adams-Bashforth (plms.py get_x_prev_and_pred_x0 ladder)
+        eps_prime = (55 * eps - 59 * h0 + 37 * h1 - 9 * h2) / 24.0
+        x_new = transfer(x, eps_prime, idx)
+        hist = jnp.stack([eps, h0, h1, h2])
+        return (x_new, hist), None
+
+    if n > 1:
+        (x, _), _ = jax.lax.scan(step, (x, hist), jnp.arange(n - 2, -1, -1))
+    return x
+
+
+# ---------------------------------------------------------------------------
+# LCM
+# ---------------------------------------------------------------------------
+
+
+def lcm_boundary_scalings(t, sigma_data: float = 0.5, timestep_scaling: float = 10.0):
+    """c_skip/c_out boundary conditions (lcm_scheduler.py get_scalings...)."""
+    ts = t.astype(jnp.float32) * timestep_scaling
+    c_skip = sigma_data**2 / (ts**2 + sigma_data**2)
+    c_out = ts / jnp.sqrt(ts**2 + sigma_data**2)
+    return c_skip, c_out
+
+
+def lcm_sample_loop(
+    sched: DiffusionSchedule,
+    model_fn: Callable,
+    shape,
+    rng: jax.Array,
+    num_steps: int = 4,
+    lcm_origin_steps: int = 50,
+    learned_range: bool = True,
+):
+    """LCM multi-step: x0-consistency prediction + re-noising ladder
+    (lcm_scheduler.py set_timesteps/step)."""
+    n = sched.num_timesteps
+    c = n // lcm_origin_steps
+    ladder = np.asarray(
+        [min(n - 1, (i + 1) * c * lcm_origin_steps // num_steps - 1) for i in range(num_steps)]
+    )[::-1]
+    rng, init_rng = jax.random.split(rng)
+    x = jax.random.normal(init_rng, shape)
+    b = shape[0]
+
+    for i, idx in enumerate(ladder):
+        t = jnp.full((b,), int(idx), dtype=jnp.int32)
+        out = model_fn(x, sched.timestep_map[t])
+        if learned_range:
+            out = out[..., : x.shape[-1]]
+        x0 = G.predict_xstart_from_eps(sched, x, t, out)
+        c_skip, c_out = lcm_boundary_scalings(t.reshape((b,) + (1,) * (x.ndim - 1)))
+        denoised = c_skip * x + c_out * x0
+        if i < len(ladder) - 1:
+            rng, n_rng = jax.random.split(rng)
+            t_next = jnp.full((b,), int(ladder[i + 1]), dtype=jnp.int32)
+            noise = jax.random.normal(n_rng, shape)
+            x = G.q_sample(sched, denoised, t_next, noise)
+        else:
+            x = denoised
+    return x
+
+
+# ---------------------------------------------------------------------------
+# EDM (Karras)
+# ---------------------------------------------------------------------------
+
+
+def edm_sample_loop(
+    denoise_fn: Callable,  # (x, sigma) -> x0 prediction
+    shape,
+    rng: jax.Array,
+    num_steps: int = 18,
+    sigma_min: float = 0.002,
+    sigma_max: float = 80.0,
+    rho: float = 7.0,
+):
+    """Karras EDM deterministic Heun sampler (edm_sample.py:11-)."""
+    steps = jnp.arange(num_steps, dtype=jnp.float32)
+    t_steps = (
+        sigma_max ** (1 / rho)
+        + steps / (num_steps - 1) * (sigma_min ** (1 / rho) - sigma_max ** (1 / rho))
+    ) ** rho
+    t_steps = jnp.append(t_steps, 0.0)
+
+    x = jax.random.normal(rng, shape) * t_steps[0]
+
+    def heun(i, x):
+        t_cur, t_next = t_steps[i], t_steps[i + 1]
+        d = (x - denoise_fn(x, t_cur)) / t_cur
+        x_next = x + (t_next - t_cur) * d
+        d2 = jnp.where(
+            t_next > 0,
+            (x_next - denoise_fn(x_next, jnp.maximum(t_next, sigma_min))) / jnp.maximum(t_next, sigma_min),
+            d,
+        )
+        return x + (t_next - t_cur) * 0.5 * (d + jnp.where(t_next > 0, d2, d))
+
+    return jax.lax.fori_loop(0, num_steps, heun, x)
+
+
+# ---------------------------------------------------------------------------
+# SA-Solver (deterministic data-prediction multistep, order 2)
+# ---------------------------------------------------------------------------
+
+
+def sa_solver_sample(
+    model_fn: Callable,
+    sched: DiffusionSchedule,
+    x: jnp.ndarray,
+    steps: int = 25,
+):
+    """Deterministic SA-Solver predictor (tau=0), equivalent to the
+    data-prediction multistep ODE solver over the VP schedule — shares the
+    DPM-Solver++ machinery (dpm_solver.py)."""
+    from instarevive_tpu.diffusion.dpm_solver import dpm_solver_pp_2m
+
+    return dpm_solver_pp_2m(model_fn, sched, x, steps=steps)

