@@ -28,13 +28,21 @@ BASELINE_3090_MPS = 0.55
 
 def main():
     import jax
+
+    # persistent compile cache: repeated bench runs skip the (slow, remote)
+    # XLA compile entirely
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from instarevive_tpu.config import load_config
     from instarevive_tpu.pipelines.build import build_pipeline, init_params
 
     backend = jax.default_backend()
-    batch = int(os.environ.get("BENCH_BATCH", "4" if backend == "tpu" else "1"))
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
     size = int(os.environ.get("BENCH_SIZE", "512"))
     iters = int(os.environ.get("BENCH_ITERS", "10" if backend == "tpu" else "2"))
     config = os.environ.get(

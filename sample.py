@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""PixArt text-to-image sampling CLI (reference scripts/inference.py analog).
+
+    python sample.py --prompt "a red panda" --t5_dir /path/t5 \
+        --ckpt epoch_20.pth --sampling_algo dpm-solver --step 20 --cfg 4.5
+
+Samplers: iddpm (ancestral DDPM, 100 respaced steps), ddim, dpm-solver
+(20-step DPM-Solver++ 2M), sa-solver. Without --t5_dir, uses the
+checkpoint's learned null embedding (unconditional samples).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--prompt", nargs="+", default=["a photo"])
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("--vae_ckpt", default=None)
+    p.add_argument("--t5_dir", default=None)
+    p.add_argument("--config", default="configs/instarevive_v1.yaml")
+    p.add_argument("--output", default="samples")
+    p.add_argument("--image_size", type=int, default=512)
+    p.add_argument("--sampling_algo", default="dpm-solver",
+                   choices=["iddpm", "ddim", "dpm-solver", "sa-solver"])
+    p.add_argument("--step", type=int, default=20)
+    p.add_argument("--cfg_scale", type=float, default=4.5)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--random_init", action="store_true")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from instarevive_tpu.config import load_config
+    from instarevive_tpu.diffusion import gaussian as G
+    from instarevive_tpu.diffusion.dpm_solver import dpm_solver_pp_2m
+    from instarevive_tpu.diffusion.respace import respaced_schedule
+    from instarevive_tpu.diffusion.samplers import sa_solver_sample
+    from instarevive_tpu.pipelines.build import build_pipeline, init_params, load_params
+    from instarevive_tpu.utils.image_io import save_image
+
+    cfg = load_config(args.config)
+    pipe = build_pipeline(cfg)
+    params = (
+        init_params(pipe, 0)
+        if args.random_init or not args.ckpt
+        else load_params(pipe, dit_ckpt=args.ckpt, vae_ckpt=args.vae_ckpt)
+    )
+
+    b = len(args.prompt)
+    L = pipe.dit.model_max_length
+    null_y = np.asarray(params["dit"]["y_embedder"]["y_embedding"])[None][:, :L]
+    if args.t5_dir:
+        from instarevive_tpu.models.t5 import T5Embedder
+
+        emb = T5Embedder(args.t5_dir, model_max_length=L)
+        y, y_mask = emb.get_text_embeddings(args.prompt)
+        y_mask = jnp.asarray(y_mask.astype(bool))
+    else:
+        print("[warn] no --t5_dir: sampling with the null embedding")
+        y = np.repeat(null_y, b, axis=0)
+        y_mask = None
+    y = jnp.asarray(y, jnp.float32)
+    null = jnp.asarray(np.repeat(null_y, b, axis=0), jnp.float32)
+
+    lat = args.image_size // 8
+    shape = (b, lat, lat, 4)
+
+    def cfg_eps(x, t):
+        """CFG on the eps half (forward_with_cfg math, PixArt.py:184-197)."""
+        x2 = jnp.concatenate([x, x], axis=0)
+        t2 = jnp.concatenate([t, t], axis=0)
+        y2 = jnp.concatenate([y, null], axis=0)
+        out = pipe.dit.apply({"params": params["dit"]}, x2, t2.astype(jnp.float32), y2,
+                             y_mask=None)
+        eps, rest = out[..., :4], out[..., 4:]
+        ce, ue = jnp.split(eps, 2, axis=0)
+        half = ue + args.cfg_scale * (ce - ue)
+        return jnp.concatenate([jnp.concatenate([half, half], axis=0), rest], axis=-1)[:b]
+
+    rng = jax.random.key(args.seed)
+    if args.sampling_algo == "iddpm":
+        sched = respaced_schedule("linear", 1000, str(args.step or 100))
+        z = G.ddpm_sample_loop(sched, cfg_eps, shape, rng, clip_denoised=True)
+    elif args.sampling_algo == "ddim":
+        sched = respaced_schedule("linear", 1000, f"ddim{args.step}")
+        z = G.ddim_sample_loop(sched, cfg_eps, shape, rng)
+    else:
+        sched = pipe.sched
+        eps_only = lambda x, t: cfg_eps(x, t)[..., :4]  # noqa: E731
+        x_init = jax.random.normal(rng, shape)
+        if args.sampling_algo == "dpm-solver":
+            z = dpm_solver_pp_2m(eps_only, sched, x_init, steps=args.step)
+        else:
+            z = sa_solver_sample(eps_only, sched, x_init, steps=args.step)
+
+    imgs = np.asarray(pipe.decode(params, z))
+    os.makedirs(args.output, exist_ok=True)
+    for i, img in enumerate(imgs):
+        path = os.path.join(args.output, f"sample_{i}_{args.sampling_algo}.png")
+        save_image(img, path)
+        print(path)
+
+
+if __name__ == "__main__":
+    main()

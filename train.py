@@ -177,6 +177,19 @@ def main():
                              "the cldm config plumbing")
 
         step_i = 0
+        if args.resume:
+            # resume params/EMA from an orbax checkpoint (the reference's
+            # --resume_from_checkpoint, diffusion/utils/checkpoint.py:40-85)
+            restored = ckpt.load_checkpoint(args.resume)
+            lead = states[0].replace(
+                params=jax.tree_util.tree_map(jnp.asarray, restored["params"]),
+                ema_params=(
+                    jax.tree_util.tree_map(jnp.asarray, restored["ema"])
+                    if restored.get("ema") is not None else states[0].ema_params
+                ),
+            )
+            states = (lead,) + states[1:]
+            logger.info(f"resumed params from {args.resume}")
         while step_i < args.steps:
             for batch in loader:
                 if step_i >= args.steps:
