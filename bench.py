@@ -51,17 +51,12 @@ def main():
     )
 
     cfg = load_config(config)
-    pipe = build_pipeline(cfg)
+    # bf16 compute on TPU (the serving configuration); params stay f32 master
+    pipe = build_pipeline(cfg, dtype=jnp.bfloat16 if backend == "tpu" else None)
     params = init_params(pipe, seed=0)
-    # bf16 params for the bench: the TPU serving configuration
-    if backend == "tpu":
-        params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
 
     y = jnp.zeros((batch, pipe.dit.model_max_length, pipe.dit.caption_channels))
     lq = jnp.full((batch, size, size, 3), 0.5, jnp.float32)
-    if backend == "tpu":
-        y = y.astype(jnp.bfloat16)
-        lq = lq.astype(jnp.bfloat16)
 
     fn = jax.jit(lambda p, x, yy: pipe.process(p, x, yy, color_fix="wavelet"))
 

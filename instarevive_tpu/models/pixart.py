@@ -72,6 +72,25 @@ class TimestepEmbedder(nn.Module):
         return nn.Dense(self.hidden, dtype=self.dtype, name="fc2")(emb)
 
 
+class SizeEmbedder(nn.Module):
+    """Micro-conditioning embedder (PixArt_blocks.py SizeEmbedder): each
+    scalar (image h/w, aspect ratio) -> sinusoid(256) -> MLP -> out_dim."""
+
+    out_dim: int
+    freq_dim: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, s):
+        """s: (B, K) scalars -> (B, K * out_dim)."""
+        b, k = s.shape
+        emb = timestep_embedding(s.reshape(-1), self.freq_dim)
+        emb = nn.Dense(self.out_dim, dtype=self.dtype, name="fc1")(emb)
+        emb = nn.silu(emb)
+        emb = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(emb)
+        return emb.reshape(b, k * self.out_dim)
+
+
 class CaptionEmbedder(nn.Module):
     """T5-feature projection with uncond-embedding dropout for CFG."""
 
@@ -238,6 +257,7 @@ class PixArt(nn.Module):
     kv_compress_sampling: Optional[str] = None
     kv_compress_ratio: int = 1
     kv_compress_layers: Sequence[int] = ()
+    micro_condition: bool = False  # PixArtMS img_hw + aspect-ratio embeds
     grad_checkpoint: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -247,7 +267,7 @@ class PixArt(nn.Module):
 
     @nn.compact
     def __call__(self, x, timestep, y, y_mask=None, c=None, control_depth: int = 0,
-                 train: bool = False, y_drop_rng=None):
+                 train: bool = False, y_drop_rng=None, data_info=None):
         """x: (B, H, W, C) latent NHWC; timestep: (B,); y: (B, L, 4096);
         y_mask: (B, L) bool; c: optional ControlNet condition latent
         (B, H, W, C) — enables the ControlNet-Half path (control_depth > 0).
@@ -273,6 +293,18 @@ class PixArt(nn.Module):
             c_tokens = c_tokens + pe[None].astype(c_tokens.dtype)
 
         t_emb = TimestepEmbedder(self.hidden_size, dtype=self.dtype, name="t_embedder")(timestep)
+        if self.micro_condition:
+            # PixArtMS micro-conditioning (PixArtMS.py:117-137): size + AR
+            # embeds added to the timestep embedding
+            d3 = self.hidden_size // 3
+            if data_info is None:
+                hw_in = jnp.full((b, 2), float(hh), jnp.float32).at[:, 1].set(float(ww))
+                ar_in = jnp.full((b, 1), float(hh) / float(ww), jnp.float32)
+            else:
+                hw_in, ar_in = data_info["img_hw"], data_info["aspect_ratio"]
+            csize = SizeEmbedder(d3, dtype=self.dtype, name="csize_embedder")(hw_in)
+            ar = SizeEmbedder(self.hidden_size - 2 * d3, dtype=self.dtype, name="ar_embedder")(ar_in)
+            t_emb = t_emb + jnp.concatenate([csize, ar], axis=-1)
         t6 = nn.Dense(6 * self.hidden_size, dtype=self.dtype, name="t_block")(nn.silu(t_emb))
         t6 = t6.reshape(b, 6, self.hidden_size)
 

@@ -28,7 +28,13 @@ from instarevive_tpu.models.vae import AutoencoderKL
 from instarevive_tpu.pipelines.restore import RestorationPipeline
 
 
-def build_pipeline(cfg: Mapping[str, Any], control_depth: int = 0) -> RestorationPipeline:
+def build_pipeline(
+    cfg: Mapping[str, Any], control_depth: int = 0, dtype=None
+) -> RestorationPipeline:
+    """``dtype`` (e.g. jnp.bfloat16) sets the compute dtype of every matmul/
+    conv — the TPU serving configuration (params can stay f32 or be cast)."""
+    import jax.numpy as jnp
+
     sw = dict(cfg.get("swinir", {}))
     sw["depths"] = tuple(sw.get("depths", (6,) * 8))
     sw["num_heads"] = tuple(sw.get("num_heads", (6,) * 8))
@@ -36,6 +42,10 @@ def build_pipeline(cfg: Mapping[str, Any], control_depth: int = 0) -> Restoratio
     vae["ch_mult"] = tuple(vae.get("ch_mult", (1, 2, 4, 4)))
     dit = dict(cfg.get("dit", {}))
     sched_cfg = dict(cfg.get("schedule", {"name": "linear", "num_timesteps": 1000}))
+    if dtype is None and cfg.get("dtype"):
+        dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg["dtype"]]
+    if dtype is not None:
+        sw["dtype"] = vae["dtype"] = dit["dtype"] = dtype
     return RestorationPipeline(
         swinir=SwinIR(**sw),
         vae=AutoencoderKL(**vae),
