@@ -370,3 +370,14 @@ def unet_params_from_torch(
     _norm(p, "out_norm", sd, "out.0")
     _conv(p, "out_conv", sd, "out.2")
     return p
+
+
+def pixart_ms_extra_params_from_torch(p: Dict[str, Any], sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """Add PixArtMS micro-conditioning embedders (PixArtMS.py:142-143)."""
+    sd = strip_prefixes(sd)
+    if "csize_embedder.mlp.0.weight" in sd:
+        _dense(p, "csize_embedder/fc1", sd, "csize_embedder.mlp.0")
+        _dense(p, "csize_embedder/fc2", sd, "csize_embedder.mlp.2")
+        _dense(p, "ar_embedder/fc1", sd, "ar_embedder.mlp.0")
+        _dense(p, "ar_embedder/fc2", sd, "ar_embedder.mlp.2")
+    return p
