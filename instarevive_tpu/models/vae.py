@@ -20,7 +20,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from instarevive_tpu.ops.attention import sdpa
+from instarevive_tpu.ops.attention import attention
 from instarevive_tpu.ops.resize import interpolate
 
 
@@ -57,7 +57,9 @@ class AttnBlock(nn.Module):
         q = nn.Conv(c, (1, 1), dtype=self.dtype, name="q")(y).reshape(b, 1, h * w, c)
         k = nn.Conv(c, (1, 1), dtype=self.dtype, name="k")(y).reshape(b, 1, h * w, c)
         v = nn.Conv(c, (1, 1), dtype=self.dtype, name="v")(y).reshape(b, 1, h * w, c)
-        out = sdpa(q, k, v, scale=c**-0.5).reshape(b, h, w, c)
+        # N grows with input size (4096 tokens at 512^2 inputs): the flash
+        # kernel avoids materializing the N x N scores in HBM
+        out = attention(q, k, v, scale=c**-0.5).reshape(b, h, w, c)
         out = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(out)
         return x + out
 

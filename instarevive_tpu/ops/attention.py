@@ -121,7 +121,7 @@ def flash_attention(
     kv_mask: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
     block_q: int = 512,
-    block_k: int = 512,
+    block_k: int = 1024,
     fp32_softmax: bool = True,  # kernel always reduces in f32
 ) -> jnp.ndarray:
     """Pallas flash attention. q:(B,H,N,D), k/v:(B,H,Nk,D), kv_mask:(B,Nk)."""

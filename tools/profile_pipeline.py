@@ -8,6 +8,7 @@
 from __future__ import annotations
 
 import argparse
+import os
 import json
 
 
@@ -28,16 +29,18 @@ def main():
     from instarevive_tpu.pipelines.build import build_pipeline, init_params
     from instarevive_tpu.utils.profiling import pipeline_stage_times, trace
 
-    cfg = load_config(args.config)
-    pipe = build_pipeline(cfg)
-    params = init_params(pipe, 0)
-    if args.bf16:
-        params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    lq = jnp.full((args.batch, args.size, args.size, 3), 0.5,
-                  jnp.bfloat16 if args.bf16 else jnp.float32)
+    cfg = load_config(args.config)
+    pipe = build_pipeline(cfg, dtype=jnp.bfloat16 if args.bf16 else None)
+    params = init_params(pipe, 0)
+
+    lq = jnp.full((args.batch, args.size, args.size, 3), 0.5, jnp.float32)
     y = jnp.zeros((args.batch, pipe.dit.model_max_length, pipe.dit.caption_channels),
-                  lq.dtype)
+                  jnp.float32)
 
     times = pipeline_stage_times(pipe, params, lq, y, iters=args.iters)
     mp = args.batch * args.size**2 / 1e6
