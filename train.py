@@ -171,10 +171,69 @@ def main():
                 return (gen_state, fake_state), m
 
             states = (gen_state, fake_state)
-        else:
-            raise SystemExit(f"task {args.task}: use the ControlLDMTask API "
-                             "(instarevive_tpu.train.cldm) — CLI wiring lands with "
-                             "the cldm config plumbing")
+        else:  # cldm | reflow: the LDM/ControlNet stack (configs/cldm.yaml)
+            import optax
+
+            from instarevive_tpu.models.unet import UNetBackbone
+            from instarevive_tpu.train.cldm import ControlLDMTask
+
+            unet = UNetBackbone(**{k: tuple(v) if isinstance(v, list) else v
+                                   for k, v in cfg["unet"].items()})
+            cnet = UNetBackbone(**{k: tuple(v) if isinstance(v, list) else v
+                                   for k, v in cfg["controlnet"].items()})
+            task = ControlLDMTask(unet, cnet, pipe.vae, pipe.swinir, sched,
+                                  sd_locked=bool(cfg.get("sd_locked", False)))
+            ctx_dim = int(cfg["unet"].get("context_dim", 1024))
+            ctx = jnp.zeros((args.batch_size, 4, ctx_dim))
+            lat = args.crop_size // pipe.latent_factor
+            k0 = jax.random.key(args.seed)
+            cldm_params = {
+                "unet": unet.init(k0, jnp.zeros((1, lat, lat, 4)), jnp.zeros((1,)),
+                                  ctx[:1])["params"],
+                "controlnet": cnet.init(k0, jnp.zeros((1, lat, lat, 8)), jnp.zeros((1,)),
+                                        ctx[:1])["params"],
+            }
+            frozen = {"vae": params["vae"], "swinir": params["swinir"]}
+
+            def trainable(path_key: str) -> bool:
+                # reference trains controlnet (+ UNet decoder when not
+                # sd_locked, cldm.py:411-418); encoder/time_embed frozen
+                if path_key == "controlnet":
+                    return True
+                return not task.sd_locked
+
+            def unet_leaf_trainable(path):
+                top = path[0].key if hasattr(path[0], "key") else str(path[0])
+                if top != "unet":
+                    return top == "controlnet"
+                if task.sd_locked:
+                    return False
+                sub = path[1].key if hasattr(path[1], "key") else str(path[1])
+                return sub.startswith(("out_", "up_"))
+
+            mask = jax.tree_util.tree_map_with_path(
+                lambda p, _: unet_leaf_trainable(p), cldm_params
+            )
+            tx_masked = optax.masked(tx, mask)
+            state = TrainState.create(shard_params(cldm_params, mesh), tx_masked,
+                                      ema=True, ema_rate=args.ema_rate)
+            loss_fn = task.reflow_loss if args.task == "reflow" else task.eps_loss
+
+            @jax.jit
+            def step(state, batch, key):
+                def lf(p):
+                    return loss_fn(p, frozen, batch, key)
+
+                (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(state.params)
+                return nan_guard(state.apply_gradients, state, grads), metrics
+
+            def run_step(state_tuple, batch, key):
+                (state,) = state_tuple
+                cldm_batch = {"hq": batch["hq"], "lq": batch["lq"], "context": ctx}
+                state, m = step(state, cldm_batch, key)
+                return (state,), m
+
+            states = (state,)
 
         step_i = 0
         if args.resume:
