@@ -34,3 +34,19 @@ class KeySeq:
 
     def __iter__(self) -> Iterator[jax.Array]:
         return self
+
+
+def per_sample_keys(base_seed: int, sample_ids) -> jax.Array:
+    """Per-sample reproducible keys (diffusion/model/utils.py
+    StackedRandomGenerator analog): same sample id -> same noise regardless
+    of batch composition."""
+    import jax.numpy as jnp
+
+    base = jax.random.key(base_seed)
+    return jax.vmap(lambda i: jax.random.fold_in(base, i))(jnp.asarray(sample_ids))
+
+
+def stacked_randn(base_seed: int, sample_ids, shape_per_sample) -> jax.Array:
+    """Batch of N(0,1) tensors keyed by per-sample ids."""
+    keys = per_sample_keys(base_seed, sample_ids)
+    return jax.vmap(lambda k: jax.random.normal(k, shape_per_sample))(keys)

@@ -132,8 +132,12 @@ def _ensure_pixart_stubs():
                 ko += kl
             return m
 
-    def memory_efficient_attention(q, k, v, p=0.0, attn_bias=None):
-        # xformers layout: (B, M, H, K)
+    def memory_efficient_attention(q, k, v, p=0.0, attn_bias=None, op=None, **kw):
+        # xformers layout: (B, M, H, K); ldm's MemoryEfficientAttnBlock
+        # passes (B, M, K) 3-D tensors (single head)
+        squeeze = q.ndim == 3
+        if squeeze:
+            q, k, v = (t.unsqueeze(2) for t in (q, k, v))
         b, mq, h, d = q.shape
         mk = k.shape[1]
         qh = q.permute(0, 2, 1, 3)
@@ -148,7 +152,8 @@ def _ensure_pixart_stubs():
                 attn = attn + attn_bias.view(b, h, mq, mk)
         attn = attn.softmax(dim=-1)
         out = attn @ vh
-        return out.permute(0, 2, 1, 3).contiguous()
+        out = out.permute(0, 2, 1, 3).contiguous()
+        return out.squeeze(2) if squeeze else out
 
     fmha.BlockDiagonalMask = BlockDiagonalMask
     xops.fmha = fmha
