@@ -134,8 +134,8 @@ class SelfAttention(nn.Module):
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         if self.qk_norm:
-            q = nn.LayerNorm(epsilon=1e-5, name="q_norm")(q)
-            k = nn.LayerNorm(epsilon=1e-5, name="k_norm")(k)
+            q = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="q_norm")(q)
+            k = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="k_norm")(k)
 
         if self.sr_ratio > 1 and self.sampling is not None:
             gh, gw = hw if hw is not None else (int(n**0.5), int(n**0.5))
@@ -162,7 +162,7 @@ class SelfAttention(nn.Module):
             x = nn.Conv(
                 c, (r, r), strides=(r, r), feature_group_count=c, dtype=self.dtype, name="sr"
             )(x)
-            x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         else:
             raise ValueError(self.sampling)
         return x.reshape(b, -1, c)
@@ -218,7 +218,7 @@ class PixArtBlock(nn.Module):
             mods[:, i][:, None] for i in range(6)
         ]
 
-        h1 = nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False, name="norm1")(x)
+        h1 = nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False, dtype=self.dtype, name="norm1")(x)
         h1 = h1 * (1 + scale_msa) + shift_msa
         x = x + gate_msa * SelfAttention(
             self.dim, self.num_heads, self.sampling, self.sr_ratio, self.qk_norm,
@@ -227,7 +227,7 @@ class PixArtBlock(nn.Module):
         x = x + CrossAttention(self.dim, self.num_heads, self.dtype, name="cross_attn")(
             x, y, kv_mask
         )
-        h2 = nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False, name="norm2")(x)
+        h2 = nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False, dtype=self.dtype, name="norm2")(x)
         h2 = h2 * (1 + scale_mlp) + shift_mlp
         x = x + gate_mlp * Mlp(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp")(h2)
         return x
@@ -375,7 +375,7 @@ class PixArt(nn.Module):
         )
         mods = final_table[None] + t_emb[:, None]
         shift, scale = mods[:, 0][:, None], mods[:, 1][:, None]
-        out = nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False, name="norm_final")(
+        out = nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False, dtype=self.dtype, name="norm_final")(
             tokens
         )
         out = out * (1 + scale) + shift

@@ -83,7 +83,7 @@ class SwinBlock(nn.Module):
         shift = self.shift if min(h, w) > self.window else 0
 
         shortcut = x
-        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         if shift > 0:
             x = W.cyclic_shift(x, shift)
             mask = W.shift_attn_mask(h, w, self.window, shift)
@@ -97,7 +97,7 @@ class SwinBlock(nn.Module):
         if shift > 0:
             x = W.cyclic_unshift(x, shift)
         x = shortcut + x
-        y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         x = x + Mlp(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp")(y)
         return x
 
@@ -164,12 +164,12 @@ class SwinIR(nn.Module):
         feat = nn.Conv(self.embed_dim, (3, 3), padding="SAME", dtype=self.dtype, name="conv_first")(feat)
 
         # deep features: LayerNorm -> RSTBs -> LayerNorm (+ conv residual)
-        deep = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(feat)
+        deep = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_norm")(feat)
         for i, (d, nh) in enumerate(zip(self.depths, self.num_heads)):
             deep = RSTB(
                 self.embed_dim, d, nh, self.window, self.mlp_ratio, self.dtype, name=f"layers_{i}"
             )(deep)
-        deep = nn.LayerNorm(epsilon=1e-5, name="norm")(deep)
+        deep = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(deep)
         deep = nn.Conv(
             self.embed_dim, (3, 3), padding="SAME", dtype=self.dtype, name="conv_after_body"
         )(deep)

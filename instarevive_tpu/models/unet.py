@@ -28,8 +28,9 @@ from instarevive_tpu.ops.attention import attention
 from instarevive_tpu.ops.resize import interpolate
 
 
-def _gn(name):
-    return nn.GroupNorm(num_groups=32, epsilon=1e-5, name=name)
+def _gn(name, dtype=None):
+    # flax computes norm statistics in f32; output stays in `dtype`
+    return nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=dtype, name=name)
 
 
 class ResBlock(nn.Module):
@@ -40,12 +41,12 @@ class ResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, emb):
-        h = _gn("in_norm")(x)
+        h = _gn("in_norm", self.dtype)(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_ch, (3, 3), padding="SAME", dtype=self.dtype, name="in_conv")(h)
         e = nn.Dense(self.out_ch, dtype=self.dtype, name="emb_proj")(nn.silu(emb))
         h = h + e[:, None, None, :]
-        h = _gn("out_norm")(h)
+        h = _gn("out_norm", self.dtype)(h)
         h = nn.silu(h)
         h = nn.Conv(
             self.out_ch, (3, 3), padding="SAME", dtype=self.dtype,
@@ -81,10 +82,10 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context):
-        y = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         x = x + self._attn(y, y, "attn1")
-        x = x + self._attn(nn.LayerNorm(epsilon=1e-5, name="norm2")(x), context, "attn2")
-        y = nn.LayerNorm(epsilon=1e-5, name="norm3")(x)
+        x = x + self._attn(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x), context, "attn2")
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
         # GEGLU: proj to 2*4c, split, gelu-gate
         inner = self.dim * 4
         g = nn.Dense(inner * 2, dtype=self.dtype, name="ff_proj")(y)
@@ -105,7 +106,7 @@ class SpatialTransformer(nn.Module):
     def __call__(self, x, context):
         b, h, w, c = x.shape
         res = x
-        y = _gn("norm")(x).reshape(b, h * w, c)
+        y = _gn("norm", self.dtype)(x).reshape(b, h * w, c)
         y = nn.Dense(c, dtype=self.dtype, name="proj_in")(y)
         for i in range(self.depth):
             y = BasicTransformerBlock(
@@ -211,7 +212,7 @@ class UNetBackbone(nn.Module):
                     ds //= 2
                 block_i += 1
 
-        h = _gn("out_norm")(h)
+        h = _gn("out_norm", self.dtype)(h)
         h = nn.silu(h)
         return nn.Conv(
             self.out_channels, (3, 3), padding="SAME",

@@ -24,8 +24,9 @@ from instarevive_tpu.ops.attention import attention
 from instarevive_tpu.ops.resize import interpolate
 
 
-def _gn(name: str):
-    return nn.GroupNorm(num_groups=32, epsilon=1e-6, name=name)
+def _gn(name: str, dtype=None):
+    # dtype: output/compute dtype; flax computes the statistics in f32
+    return nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=dtype, name=name)
 
 
 class ResnetBlock(nn.Module):
@@ -34,10 +35,10 @@ class ResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = _gn("norm1")(x)
+        h = _gn("norm1", self.dtype)(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_ch, (3, 3), padding="SAME", dtype=self.dtype, name="conv1")(h)
-        h = _gn("norm2")(h)
+        h = _gn("norm2", self.dtype)(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_ch, (3, 3), padding="SAME", dtype=self.dtype, name="conv2")(h)
         if x.shape[-1] != self.out_ch:
@@ -53,7 +54,7 @@ class AttnBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        y = _gn("norm")(x)
+        y = _gn("norm", self.dtype)(x)
         q = nn.Conv(c, (1, 1), dtype=self.dtype, name="q")(y).reshape(b, 1, h * w, c)
         k = nn.Conv(c, (1, 1), dtype=self.dtype, name="k")(y).reshape(b, 1, h * w, c)
         v = nn.Conv(c, (1, 1), dtype=self.dtype, name="v")(y).reshape(b, 1, h * w, c)
@@ -88,7 +89,7 @@ class Encoder(nn.Module):
         h = ResnetBlock(h.shape[-1], self.dtype, name="mid_block_1")(h)
         h = AttnBlock(self.dtype, name="mid_attn_1")(h)
         h = ResnetBlock(h.shape[-1], self.dtype, name="mid_block_2")(h)
-        h = _gn("norm_out")(h)
+        h = _gn("norm_out", self.dtype)(h)
         h = nn.silu(h)
         out_ch = 2 * self.z_channels if self.double_z else self.z_channels
         return nn.Conv(out_ch, (3, 3), padding="SAME", dtype=self.dtype, name="conv_out")(h)
@@ -117,7 +118,7 @@ class Decoder(nn.Module):
                     h.shape[-1], (3, 3), padding="SAME", dtype=self.dtype,
                     name=f"up_{i}_upsample",
                 )(h)
-        h = _gn("norm_out")(h)
+        h = _gn("norm_out", self.dtype)(h)
         h = nn.silu(h)
         return nn.Conv(self.out_ch, (3, 3), padding="SAME", dtype=self.dtype, name="conv_out")(h)
 

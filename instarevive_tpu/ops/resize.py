@@ -209,6 +209,14 @@ def interpolate(
         return x
 
     if mode == "nearest":
+        if out_h % in_h == 0 and out_w % in_w == 0 and spatial_axes == (-3, -2):
+            # integer upscale: broadcast-reshape (no gather — much faster on
+            # TPU; this is the VAE-decoder / SwinIR upsampler hot path)
+            fh, fw = out_h // in_h, out_w // in_w
+            b = x.shape[:-3]
+            xe = x[..., :, None, :, None, :]
+            xe = jnp.broadcast_to(xe, b + (in_h, fh, in_w, fw, x.shape[-1]))
+            return xe.reshape(b + (out_h, out_w, x.shape[-1]))
         # torch 'nearest': src = floor(dst * in / out)
         ih = np.minimum((np.arange(out_h) * in_h // out_h), in_h - 1).astype(np.int32)
         iw = np.minimum((np.arange(out_w) * in_w // out_w), in_w - 1).astype(np.int32)
