@@ -188,7 +188,9 @@ class CrossAttention(nn.Module):
         def heads(t):
             return jnp.transpose(t.reshape(b, -1, h, hd), (0, 2, 1, 3))
 
-        out = sdpa(heads(q), heads(k), heads(v), kv_mask=kv_mask, scale=hd**-0.5)
+        # auto-dispatches to the flash kernel on TPU (300 text keys are
+        # padded inside the kernel) — no f32 score materialization
+        out = attention(heads(q), heads(k), heads(v), kv_mask=kv_mask, scale=hd**-0.5)
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, c)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 

@@ -133,6 +133,7 @@ class UNetBackbone(nn.Module):
     context_dim: int = 1024
     transformer_depth: int = 1
     is_controlnet: bool = False
+    use_checkpoint: bool = False  # activation rematerialization per block
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -145,8 +146,11 @@ class UNetBackbone(nn.Module):
         emb = nn.Dense(4 * mc, dtype=self.dtype, name="time_embed_0")(t_emb)
         emb = nn.Dense(4 * mc, dtype=self.dtype, name="time_embed_2")(nn.silu(emb))
 
+        res_cls = nn.remat(ResBlock) if self.use_checkpoint else ResBlock
+        st_cls = nn.remat(SpatialTransformer) if self.use_checkpoint else SpatialTransformer
+
         def st(ch, name):
-            return SpatialTransformer(
+            return st_cls(
                 ch // self.num_head_channels, self.context_dim,
                 self.transformer_depth, self.dtype, name=name,
             )
@@ -164,7 +168,7 @@ class UNetBackbone(nn.Module):
         for level, mult in enumerate(self.channel_mult):
             ch = mc * mult
             for j in range(self.num_res_blocks):
-                h = ResBlock(ch, self.dtype, name=f"in_{block_i}_res")(h, emb)
+                h = res_cls(ch, self.dtype, name=f"in_{block_i}_res")(h, emb)
                 if ds in self.attention_ds:
                     h = st(ch, f"in_{block_i}_st")(h, context)
                 hs.append(h)
@@ -184,9 +188,9 @@ class UNetBackbone(nn.Module):
                 zi += 1
                 block_i += 1
 
-        h = ResBlock(ch, self.dtype, name="mid_res1")(h, emb)
+        h = res_cls(ch, self.dtype, name="mid_res1")(h, emb)
         h = st(ch, "mid_st")(h, context)
-        h = ResBlock(ch, self.dtype, name="mid_res2")(h, emb)
+        h = res_cls(ch, self.dtype, name="mid_res2")(h, emb)
         if self.is_controlnet:
             outs.append(_zero_conv(ch, self.dtype, "zero_conv_mid")(h))
             return outs
@@ -203,7 +207,7 @@ class UNetBackbone(nn.Module):
                 if control is not None and not only_mid_control:
                     skip = skip + control.pop()
                 h = jnp.concatenate([h, skip], axis=-1)
-                h = ResBlock(ch, self.dtype, name=f"out_{block_i}_res")(h, emb)
+                h = res_cls(ch, self.dtype, name=f"out_{block_i}_res")(h, emb)
                 if ds in self.attention_ds:
                     h = st(ch, f"out_{block_i}_st")(h, context)
                 if level and j == self.num_res_blocks:

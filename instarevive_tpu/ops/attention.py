@@ -124,27 +124,44 @@ def flash_attention(
     block_k: int = 1024,
     fp32_softmax: bool = True,  # kernel always reduces in f32
 ) -> jnp.ndarray:
-    """Pallas flash attention. q:(B,H,N,D), k/v:(B,H,Nk,D), kv_mask:(B,Nk)."""
+    """Pallas flash attention. q:(B,H,N,D), k/v:(B,H,Nk,D), kv_mask:(B,Nk).
+
+    Ragged sizes are handled by internal padding: q rows are padded (and
+    sliced off the output); padded keys are masked out — so any (nq, nk)
+    works, e.g. the 300-token T5 cross-attention."""
     b, h, nq, d = q.shape
     nk = k.shape[2]
     scale = d**-0.5 if scale is None else scale
 
-    block_q = min(block_q, nq)
-    block_k = min(block_k, nk)
-    if nq % block_q or nk % block_k:
-        raise ValueError(f"N ({nq},{nk}) must be divisible by blocks ({block_q},{block_k})")
+    def round_up(x, m):
+        return -(-x // m) * m
 
-    qf = q.reshape(b * h, nq, d)
-    kf = k.reshape(b * h, nk, d)
-    vf = v.reshape(b * h, nk, d)
+    block_q = min(block_q, round_up(nq, 128))
+    block_k = min(block_k, round_up(nk, 128))
+    nq_pad = round_up(nq, block_q)
+    nk_pad = round_up(nk, block_k)
+    if nq_pad != nq:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, nq_pad - nq), (0, 0)))
+    if nk_pad != nk:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, nk_pad - nk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, nk_pad - nk), (0, 0)))
+        if kv_mask is None:
+            kv_mask = jnp.ones((b, nk), dtype=bool)
+    if kv_mask is not None and kv_mask.shape[1] != nk_pad:
+        kv_mask = jnp.pad(kv_mask, ((0, 0), (0, nk_pad - kv_mask.shape[1])))
+
+    qf = q.reshape(b * h, nq_pad, d)
+    kf = k.reshape(b * h, nk_pad, d)
+    vf = v.reshape(b * h, nk_pad, d)
     if kv_mask is None:
-        maskf = jnp.ones((b * h, 1, nk), dtype=jnp.int32)
+        maskf = jnp.ones((b * h, 1, nk_pad), dtype=jnp.int32)
         has_mask = False
     else:
         maskf = jnp.repeat(kv_mask.astype(jnp.int32)[:, None, :], h, axis=0).reshape(
-            b * h, 1, nk
+            b * h, 1, nk_pad
         )
         has_mask = True
+    nq_orig, nq, nk = nq, nq_pad, nk_pad
 
     grid = (b * h, nq // block_q, nk // block_k)
     out = pl.pallas_call(
@@ -164,7 +181,8 @@ def flash_attention(
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
     )(qf, kf, vf, maskf)
-    return out.reshape(b, h, nq, d)
+    out = out.reshape(b, h, nq, d)
+    return out[:, :, :nq_orig] if nq_orig != nq else out
 
 
 def attention(
@@ -181,8 +199,9 @@ def attention(
     XLA reference otherwise (CPU tests, small windows, biased attention)."""
     if impl == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        long_seq = q.shape[2] >= 1024 and q.shape[2] % 256 == 0 and k.shape[2] % 256 == 0
-        impl = "flash" if (on_tpu and long_seq and bias is None) else "xla"
+        # flash for any long-query attention (kernel pads ragged k lengths);
+        # biased attention (rel-pos windows) stays on the XLA path
+        impl = "flash" if (on_tpu and q.shape[2] >= 1024 and bias is None) else "xla"
     if impl == "flash":
         return flash_attention(q, k, v, kv_mask=kv_mask, scale=scale)
     return sdpa(q, k, v, bias=bias, kv_mask=kv_mask, scale=scale, fp32_softmax=fp32_softmax)

@@ -48,6 +48,11 @@ def parse_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--degradation", default="realesrgan", choices=["realesrgan", "codeformer"])
     p.add_argument("--queue_size", type=int, default=256)
+    p.add_argument("--dmd_noise_dir", default=None,
+                   help="paired-noise dir (DMD dataset quadruples) — when set with "
+                        "--dmd_latent_dir, regression pairs come from disk instead of "
+                        "on-the-fly encoding (diffusion/data/datasets/dmd.py layout)")
+    p.add_argument("--dmd_latent_dir", default=None)
     return p.parse_args()
 
 
@@ -159,12 +164,26 @@ def main():
             )
             enc_jit = jax.jit(lambda p, img01: pipe.encode(p, img01))
 
+            pair_loader = None
+            if args.dmd_noise_dir and args.dmd_latent_dir:
+                from instarevive_tpu.data.internal import DMDPairDataset
+
+                pair_ds = DMDPairDataset(args.dmd_noise_dir, args.dmd_latent_dir)
+                pair_loader = iter(PrefetchLoader(pair_ds, args.batch_size, seed=args.seed))
+
             def run_step(states, batch, key):
                 gen_state, fake_state = states
                 k1, k2 = jax.random.split(key)
-                latent = enc_jit(params, (batch["hq"] + 1.0) / 2.0)
-                noise = jax.random.normal(k1, latent.shape)
-                dmd_batch = {"noise": noise, "latent": latent}
+                if pair_loader is not None:
+                    pair = next(pair_loader)
+                    dmd_batch = {
+                        "noise": jnp.asarray(pair["noise"]),
+                        "latent": jnp.asarray(pair["latent"]),
+                    }
+                else:
+                    latent = enc_jit(params, (batch["hq"] + 1.0) / 2.0)
+                    noise = jax.random.normal(k1, latent.shape)
+                    dmd_batch = {"noise": noise, "latent": latent}
                 gen_state, fake_state, m = dmd_step(
                     gen_state, fake_state, dmd_batch, k2, {"y": y}
                 )
