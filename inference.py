@@ -51,6 +51,7 @@ def parse_args(argv=None):
     p.add_argument("--use_center_crop", action="store_true")
     p.add_argument("--random_init", action="store_true",
                    help="seeded random weights (smoke runs without checkpoints)")
+    p.add_argument("--bf16", action="store_true", help="bf16 compute (TPU serving)")
     return p.parse_args(argv)
 
 
@@ -75,7 +76,10 @@ def main(argv=None):
     )
 
     cfg = load_config(args.config)
-    pipe = build_pipeline(cfg)
+    jnp_dtype = None
+    if args.bf16 or (args.device == "tpu" and jax.default_backend() == "tpu"):
+        jnp_dtype = jnp.bfloat16  # bf16 compute, f32 params (serving default)
+    pipe = build_pipeline(cfg, dtype=jnp_dtype)
 
     if args.random_init or not (args.ckpt or args.swinir_ckpt or args.vae_ckpt):
         if not args.random_init:

@@ -222,3 +222,25 @@ class AspectRatioBatchSampler:
                     batches.append((ratio, chunk))
         self.rng.shuffle(batches)
         return iter(batches)
+
+
+def closest_bucket(ratio: float, table=None):
+    """(h, w) of the nearest aspect-ratio bucket (prepare_prompt_ar analog,
+    diffusion/model/utils.py:442-)."""
+    table = table or ASPECT_RATIO_512
+    keys = np.asarray(sorted(table.keys()))
+    return table[float(keys[np.argmin(np.abs(keys - ratio))])]
+
+
+def parse_prompt_aspect(prompt: str):
+    """Extract a trailing 'H:W' aspect token from a prompt; returns
+    (clean_prompt, ratio or None)."""
+    import re
+
+    m = re.search(r"\s*--ar\s+(\d+)\s*:\s*(\d+)\s*$", prompt)
+    if not m:
+        m = re.search(r"\s+(\d+):(\d+)\s*$", prompt)
+    if m:
+        h, w = int(m.group(1)), int(m.group(2))
+        return prompt[: m.start()].strip(), h / w
+    return prompt, None

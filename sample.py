@@ -68,8 +68,17 @@ def main():
     y = jnp.asarray(y, jnp.float32)
     null = jnp.asarray(np.repeat(null_y, b, axis=0), jnp.float32)
 
-    lat = args.image_size // 8
-    shape = (b, lat, lat, 4)
+    # aspect-ratio-aware latent shape from prompt suffix ("... --ar 3:4"),
+    # reference prepare_prompt_ar (diffusion/model/utils.py:442)
+    from instarevive_tpu.data.dataset import closest_bucket, parse_prompt_aspect
+
+    ratios = [parse_prompt_aspect(pr)[1] for pr in args.prompt]
+    if any(r is not None for r in ratios):
+        hh, ww = closest_bucket(next(r for r in ratios if r is not None))
+        lat_h, lat_w = hh // 8, ww // 8
+    else:
+        lat_h = lat_w = args.image_size // 8
+    shape = (b, lat_h, lat_w, 4)
 
     def cfg_eps(x, t):
         """CFG on the eps half (forward_with_cfg math, PixArt.py:184-197)."""
