@@ -136,11 +136,17 @@ class RestorationPipeline:
         use_swinir: bool = True,
         color_fix: str = "wavelet",
         use_control: bool = False,
+        tile_batch: int = 4,
     ):
         """Tiled restoration (inference.py:119-153): latent-space sliding
         windows with sum/count averaging, then a pixel-space pass that
         decodes each latent tile, color-fixes vs the SwinIR pixels, and
-        overlap-averages. Both passes are lax.scans — fully on-device."""
+        overlap-averages. Both passes are lax.scans — fully on-device.
+
+        Unlike the reference's serial Python tile loop, the one-step DiT
+        runs on ``tile_batch`` tiles at once (vmapped gather -> batched
+        forward -> sequential scatter-add) to keep the MXU fed on large
+        images."""
         b, h, w, _ = lq.shape
         f = self.latent_factor
         lt, ls = tile_size // f, tile_stride // f  # latent tile geometry
@@ -149,23 +155,48 @@ class RestorationPipeline:
         stage1 = self.clean(params, lq) if use_swinir else lq
         z_init = self.encode(params, stage1)
 
-        offsets = jnp.asarray(tile_grid(lh, lw, lt, ls))  # (n, 2) latent offsets
+        offsets_np = tile_grid(lh, lw, lt, ls)  # (n, 2) latent offsets
+        n_tiles = len(offsets_np)
+        tb = max(1, min(tile_batch, n_tiles))
+        # pad the offset list so every chunk is full; padded tiles recompute
+        # an existing tile but their weight is masked to zero.
+        pad = (-n_tiles) % tb
+        offs_padded = np.concatenate([offsets_np, np.repeat(offsets_np[-1:], pad, 0)])
+        weights = np.concatenate([np.ones(n_tiles), np.zeros(pad)]).astype(np.float32)
+        chunks = jnp.asarray(offs_padded.reshape(-1, tb, 2))
+        wchunks = jnp.asarray(weights.reshape(-1, tb))
 
-        # pass 1: latent tiles -> one-step -> overlap average
-        def latent_body(carry, off):
+        def gather_tile(src, off, ch):
+            return jax.lax.dynamic_slice(src, (0, off[0], off[1], 0), (b, lt, lt, ch))
+
+        # pass 1: latent tiles -> one-step (batched over tb) -> overlap average
+        def latent_body(carry, chunk_w):
             zsum, cnt = carry
-            hi, wi = off[0], off[1]
-            tile = jax.lax.dynamic_slice(z_init, (0, hi, wi, 0), (b, lt, lt, 4))
-            c = tile if use_control else None
-            out = self.one_step(params, tile, y, y_mask, c=c)
-            cur = jax.lax.dynamic_slice(zsum, (0, hi, wi, 0), (b, lt, lt, 4))
-            zsum = jax.lax.dynamic_update_slice(zsum, cur + out, (0, hi, wi, 0))
-            ccur = jax.lax.dynamic_slice(cnt, (0, hi, wi, 0), (b, lt, lt, 1))
-            cnt = jax.lax.dynamic_update_slice(cnt, ccur + 1.0, (0, hi, wi, 0))
+            chunk, wgt = chunk_w
+            tiles = jax.vmap(lambda o: gather_tile(z_init, o, 4))(chunk)  # (tb,b,lt,lt,4)
+            flat = tiles.reshape(tb * b, lt, lt, 4)
+            y_rep = jnp.tile(y, (tb, 1, 1))
+            m_rep = jnp.tile(y_mask, (tb, 1)) if y_mask is not None else None
+            c = flat if use_control else None
+            outs = self.one_step(params, flat, y_rep, m_rep, c=c)
+            outs = outs.reshape(tb, b, lt, lt, 4)
+
+            def scatter(i, carry):
+                zsum, cnt = carry
+                hi, wi = chunk[i, 0], chunk[i, 1]
+                wg = wgt[i]
+                cur = jax.lax.dynamic_slice(zsum, (0, hi, wi, 0), (b, lt, lt, 4))
+                zsum = jax.lax.dynamic_update_slice(zsum, cur + wg * outs[i], (0, hi, wi, 0))
+                ccur = jax.lax.dynamic_slice(cnt, (0, hi, wi, 0), (b, lt, lt, 1))
+                cnt = jax.lax.dynamic_update_slice(cnt, ccur + wg, (0, hi, wi, 0))
+                return zsum, cnt
+
+            zsum, cnt = jax.lax.fori_loop(0, tb, scatter, (zsum, cnt))
             return (zsum, cnt), None
 
         (zsum, cnt), _ = jax.lax.scan(
-            latent_body, (jnp.zeros_like(z_init), jnp.zeros((b, lh, lw, 1))), offsets
+            latent_body, (jnp.zeros_like(z_init), jnp.zeros((b, lh, lw, 1))),
+            (chunks, wchunks),
         )
         z_avg = zsum / cnt
 
@@ -188,7 +219,8 @@ class RestorationPipeline:
             return (psum, pcnt), None
 
         (psum, pcnt), _ = jax.lax.scan(
-            pixel_body, (jnp.zeros_like(lq), jnp.zeros((b, h, w, 1))), offsets
+            pixel_body, (jnp.zeros_like(lq), jnp.zeros((b, h, w, 1))),
+            jnp.asarray(offsets_np),
         )
         return jnp.clip(psum / pcnt, 0.0, 1.0)
 
