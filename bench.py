@@ -58,7 +58,15 @@ def main():
     y = jnp.zeros((batch, pipe.dit.model_max_length, pipe.dit.caption_channels))
     lq = jnp.full((batch, size, size, 3), 0.5, jnp.float32)
 
-    fn = jax.jit(lambda p, x, yy: pipe.process(p, x, yy, color_fix="wavelet"))
+    mode = os.environ.get("BENCH_MODE", "plain")  # plain | tiled
+    if mode == "tiled":
+        fn = jax.jit(
+            lambda p, x, yy: pipe.process_tiled(
+                p, x, yy, tile_size=512, tile_stride=448, color_fix="wavelet"
+            )
+        )
+    else:
+        fn = jax.jit(lambda p, x, yy: pipe.process(p, x, yy, color_fix="wavelet"))
 
     # warmup/compile
     out = fn(params, lq, y)
@@ -75,7 +83,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"one-step restoration throughput ({size}x{size} out, batch {batch}, {backend})",
+                "metric": f"one-step restoration throughput ({size}x{size} out, batch {batch}, {mode}, {backend})",
                 "value": round(mps, 4),
                 "unit": "MP/s/chip",
                 "vs_baseline": round(mps / BASELINE_3090_MPS, 3),

@@ -275,7 +275,18 @@ def main():
                 key, dk, sk = jax.random.split(key, 3)
                 hq01 = jnp.asarray(batch["hq"], jnp.float32) / 255.0
                 data = degrade_jit(dk, shard_batch(hq01, mesh))
-                states, metrics = run_step(states, data, sk)
+                try:
+                    states, metrics = run_step(states, data, sk)
+                except Exception:
+                    # crash recovery (SURVEY §5 failure detection): dump an
+                    # emergency checkpoint before propagating
+                    ckpt.save_checkpoint(
+                        os.path.join(args.out, f"crash_step_{step_i}"),
+                        jax.device_get({"params": states[0].params,
+                                        "ema": states[0].ema_params}),
+                    )
+                    logger.exception(f"step {step_i} failed; emergency checkpoint saved")
+                    raise
                 buf.update({k: float(v) for k, v in metrics.items()})
                 step_i += 1
                 msg = timer.update()
