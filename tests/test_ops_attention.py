@@ -74,3 +74,35 @@ def test_flash_matches_sdpa_interpret(nk_mask):
                 block_k=128,
             )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_flash_ragged_padding_interpret():
+    """Kernel-internal padding: ragged nq/nk (e.g. 300 text tokens)."""
+    q, k, v = _rand_qkv(b=1, h=2, nq=200, nk=300, d=64, seed=5)
+    ref = sdpa(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    with jax.disable_jit():
+        from jax.experimental.pallas import tpu as pltpu
+
+        with pltpu.force_tpu_interpret_mode():
+            out = flash_attention(
+                jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                block_q=128, block_k=128,
+            )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_flash_ragged_with_user_mask_interpret():
+    q, k, v = _rand_qkv(b=2, h=1, nq=128, nk=200, d=32, seed=6)
+    mask = np.zeros((2, 200), dtype=bool)
+    mask[0, :50] = True
+    mask[1, :199] = True
+    ref = sdpa(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), kv_mask=jnp.asarray(mask))
+    with jax.disable_jit():
+        from jax.experimental.pallas import tpu as pltpu
+
+        with pltpu.force_tpu_interpret_mode():
+            out = flash_attention(
+                jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                kv_mask=jnp.asarray(mask), block_q=128, block_k=128,
+            )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
