@@ -1,0 +1,65 @@
+"""Golden-output regression: tiny-config pipeline outputs must stay stable.
+
+Guards against silent numerics drift across refactors/rounds. The fixture
+self-bootstraps: first run writes tests/golden/*.npz; later runs compare.
+Regenerate intentionally by deleting the file (and eyeball the diff in the
+PR). CPU-only (conftest pins JAX_PLATFORMS=cpu) so values are deterministic.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
+
+
+def _check_or_bootstrap(name: str, arrays: dict, atol: float = 2e-4):
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    path = os.path.join(GOLDEN_DIR, f"{name}.npz")
+    if not os.path.exists(path):
+        np.savez_compressed(path, **{k: np.asarray(v) for k, v in arrays.items()})
+        pytest.skip(f"golden bootstrap: wrote {path}")
+    ref = np.load(path)
+    for k, v in arrays.items():
+        np.testing.assert_allclose(
+            np.asarray(v), ref[k], atol=atol, rtol=1e-3,
+            err_msg=f"golden drift in {name}/{k}",
+        )
+
+
+def test_golden_pipeline_process():
+    from instarevive_tpu.config import load_config
+    from instarevive_tpu.pipelines.build import build_pipeline, init_params
+
+    cfg = load_config(os.path.join(os.path.dirname(GOLDEN_DIR), "..", "configs", "tiny.yaml"))
+    pipe = build_pipeline(cfg)
+    params = init_params(pipe, seed=0)
+    y = jnp.zeros((1, pipe.dit.model_max_length, pipe.dit.caption_channels))
+    lq = jnp.clip(jax.random.uniform(jax.random.key(7), (1, 64, 64, 3)), 0, 1)
+    out = pipe.process(params, lq, y)
+    _check_or_bootstrap("pipeline_process_tiny", {"out": out})
+
+
+def test_golden_degradation():
+    from instarevive_tpu.data.realesrgan import RealESRGANDegradationConfig, degrade_batch
+
+    cfg = RealESRGANDegradationConfig()
+    hq = jnp.clip(jax.random.uniform(jax.random.key(3), (1, 64, 64, 3)), 0, 1)
+    out = degrade_batch(jax.random.key(11), hq, cfg)
+    _check_or_bootstrap("degradation_realesrgan", {"lq": out["lq"]}, atol=5e-4)
+
+
+def test_golden_dit_forward():
+    from instarevive_tpu.models.pixart import PixArt
+
+    dit = PixArt(input_size=16, hidden_size=64, depth=2, num_heads=4,
+                 caption_channels=32, model_max_length=8)
+    z = jax.random.normal(jax.random.key(1), (1, 16, 16, 4))
+    y = jax.random.normal(jax.random.key(2), (1, 8, 32))
+    params = dit.init(jax.random.key(0), z, jnp.zeros((1,)), y)
+    out = dit.apply(params, z, jnp.asarray([400.0]), y)
+    _check_or_bootstrap("dit_forward_tiny", {"out": out})
