@@ -136,6 +136,11 @@ def flash_attention(
     def round_up(x, m):
         return -(-x // m) * m
 
+    # large head dims blow VMEM at the default blocks (q/k/v/acc scale with
+    # d); shrink to stay under the ~16MB scoped limit even for f32 inputs
+    if d >= 256:
+        block_q = min(block_q, 256)
+        block_k = min(block_k, 512)
     block_q = min(block_q, round_up(nq, 128))
     block_k = min(block_k, round_up(nk, 128))
     nq_pad = round_up(nq, block_q)
