@@ -76,12 +76,24 @@ class ImageFolderDataset:
         return len(self.files)
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
-        img = _load_retry(self.files[idx])
+        path = self.files[idx]
+        flip = self.use_hflip and self.rng.random() < 0.5
+        if self.crop_type != "none" and path.lower().endswith((".jpg", ".jpeg")):
+            # native C++ decode+crop hot path (native/fastloader.cpp)
+            from instarevive_tpu.data import native_loader
+
+            img = native_loader.decode_crop(
+                path, self.out_size, crop=self.crop_type,
+                seed=int(self.rng.integers(0, 2**63)), hflip=flip,
+            )
+            if img is not None:
+                return {"hq": img}
+        img = _load_retry(path)
         if img is None:
             img = np.zeros((self.out_size, self.out_size, 3), np.uint8)
         if self.crop_type != "none":
             img = _crop(img, self.out_size, self.rng, self.crop_type == "random")
-        if self.use_hflip and self.rng.random() < 0.5:
+        if flip:
             img = img[:, ::-1]
         return {"hq": np.ascontiguousarray(img)}
 

@@ -81,7 +81,14 @@ class DMDPairDataset:
         for ext in (".npy", ".npz"):
             p = os.path.join(d, n + ext)
             if os.path.exists(p):
-                return _load_npz(p) if ext == ".npz" else np.load(p)
+                if ext == ".npy":
+                    from instarevive_tpu.data import native_loader
+
+                    arr = native_loader.load_npy_f32(p)
+                    if arr is not None:
+                        return arr
+                    return np.load(p)
+                return _load_npz(p)
         raise FileNotFoundError(f"{n} in {d}")
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
