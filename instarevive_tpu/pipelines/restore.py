@@ -186,9 +186,10 @@ class RestorationPipeline:
                 hi, wi = chunk[i, 0], chunk[i, 1]
                 wg = wgt[i]
                 cur = jax.lax.dynamic_slice(zsum, (0, hi, wi, 0), (b, lt, lt, 4))
-                zsum = jax.lax.dynamic_update_slice(zsum, cur + wg * outs[i], (0, hi, wi, 0))
+                upd = (cur + wg * outs[i].astype(jnp.float32)).astype(zsum.dtype)
+                zsum = jax.lax.dynamic_update_slice(zsum, upd, (0, hi, wi, 0))
                 ccur = jax.lax.dynamic_slice(cnt, (0, hi, wi, 0), (b, lt, lt, 1))
-                cnt = jax.lax.dynamic_update_slice(cnt, ccur + wg, (0, hi, wi, 0))
+                cnt = jax.lax.dynamic_update_slice(cnt, (ccur + wg).astype(cnt.dtype), (0, hi, wi, 0))
                 return zsum, cnt
 
             zsum, cnt = jax.lax.fori_loop(0, tb, scatter, (zsum, cnt))
@@ -213,7 +214,9 @@ class RestorationPipeline:
             elif color_fix == "adain":
                 img = adain_color_fix(img, ref_tile)
             cur = jax.lax.dynamic_slice(psum, (0, ph, pw, 0), (b, lt * f, lt * f, 3))
-            psum = jax.lax.dynamic_update_slice(psum, cur + img, (0, ph, pw, 0))
+            psum = jax.lax.dynamic_update_slice(
+                psum, (cur + img).astype(psum.dtype), (0, ph, pw, 0)
+            )
             ccur = jax.lax.dynamic_slice(pcnt, (0, ph, pw, 0), (b, lt * f, lt * f, 1))
             pcnt = jax.lax.dynamic_update_slice(pcnt, ccur + 1.0, (0, ph, pw, 0))
             return (psum, pcnt), None
