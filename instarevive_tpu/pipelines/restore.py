@@ -81,9 +81,22 @@ class RestorationPipeline:
         return z * VAE_SCALE
 
     def decode(self, params, z):
-        """Scaled latent -> [0,1] image, inference.py:117."""
-        img = self.vae.apply({"params": params["vae"]}, z / VAE_SCALE, method=self.vae.decode)
-        return jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
+        """Scaled latent -> [0,1] image, inference.py:117.
+
+        Batch > 1 runs as a lax.map over single samples: XLA picks
+        pathological layouts for the N>1 decoder convs (4.6x slower per
+        image at N=2 — convert/select_bitcast/copy storms in the trace,
+        tools/trace_decode.py), while the N=1 program is near-roofline."""
+
+        def _dec(zi):
+            img = self.vae.apply(
+                {"params": params["vae"]}, zi / VAE_SCALE, method=self.vae.decode
+            )
+            return jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
+
+        if z.shape[0] == 1:
+            return _dec(z)
+        return jax.lax.map(lambda zi: _dec(zi[None])[0], z)
 
     def one_step(self, params, z_init, y, y_mask=None, c=None):
         """eps at t=maxt -> x0 (generate_sample_1step, generate.py:22-42)."""
