@@ -193,3 +193,23 @@ def test_cldm_tasks_smoke():
 
     z = task.reflow_sample_1step(params, frozen, batch)
     assert z.shape == (1, 8, 8, 4)
+
+
+def test_sa_solver_stochastic_converges_to_ode():
+    from instarevive_tpu.diffusion.dpm_solver import dpm_solver_pp_2m
+    from instarevive_tpu.diffusion.samplers import sa_solver_stochastic
+
+    s = make_schedule("linear", 1000)
+    model = lambda x, t: 0.1 * x  # noqa: E731
+    x0 = jax.random.normal(jax.random.key(0), (1, 8, 8, 4))
+    ref = dpm_solver_pp_2m(model, s, x0, steps=50)
+    det = sa_solver_stochastic(model, s, x0, jax.random.key(1), steps=50, tau=0.0)
+    # tau=0 is the same ODE in the limit; methods differ at O(h^3)/step
+    rel = float(jnp.abs(det - ref).max() / jnp.abs(ref).max())
+    assert rel < 0.01, rel
+
+    sto = sa_solver_stochastic(model, s, x0, jax.random.key(2), steps=25, tau=1.0)
+    assert np.isfinite(np.asarray(sto)).all()
+    # stochastic path differs from deterministic
+    det25 = sa_solver_stochastic(model, s, x0, jax.random.key(2), steps=25, tau=0.0)
+    assert not np.allclose(np.asarray(sto), np.asarray(det25))
