@@ -124,6 +124,7 @@ class SelfAttention(nn.Module):
     sampling: Optional[str] = None  # 'conv' | 'ave' | 'uniform' | None
     sr_ratio: int = 1
     qk_norm: bool = False
+    window_size: int = 0  # >0: ViT-det windowed attention (PixArt_blocks:161)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -136,6 +137,33 @@ class SelfAttention(nn.Module):
         if self.qk_norm:
             q = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="q_norm")(q)
             k = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="k_norm")(k)
+
+        if self.window_size > 0:
+            # local windows over the token grid (diffusion/model/utils.py:74-120
+            # window_partition semantics): attention confined to win x win
+            # patches — the DiT-side long-sequence scaling mechanism.
+            from instarevive_tpu.ops import window as W
+
+            gh, gw = hw if hw is not None else (int(n**0.5), int(n**0.5))
+            win = self.window_size
+
+            def to_windows(t):
+                t = t.reshape(b, gh, gw, c)
+                t, _, _ = W.pad_to_multiple(t, win, mode="constant")
+                return W.window_partition(t, win)  # (B*nW, win^2, c)
+
+            qw, kw, vw = to_windows(q), to_windows(k), to_windows(v)
+            bw, nw_tokens, _ = qw.shape
+
+            def heads_w(t):
+                return jnp.transpose(t.reshape(bw, -1, h, hd), (0, 2, 1, 3))
+
+            out = attention(heads_w(qw), heads_w(kw), heads_w(vw), scale=hd**-0.5)
+            out = jnp.transpose(out, (0, 2, 1, 3)).reshape(bw, nw_tokens, c)
+            ph = -(-gh // win) * win
+            pw = -(-gw // win) * win
+            out = W.window_reverse(out, win, ph, pw)[:, :gh, :gw].reshape(b, n, c)
+            return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
         if self.sr_ratio > 1 and self.sampling is not None:
             gh, gw = hw if hw is not None else (int(n**0.5), int(n**0.5))
@@ -204,6 +232,7 @@ class PixArtBlock(nn.Module):
     sampling: Optional[str] = None
     sr_ratio: int = 1
     qk_norm: bool = False
+    window_size: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -224,7 +253,7 @@ class PixArtBlock(nn.Module):
         h1 = h1 * (1 + scale_msa) + shift_msa
         x = x + gate_msa * SelfAttention(
             self.dim, self.num_heads, self.sampling, self.sr_ratio, self.qk_norm,
-            self.dtype, name="attn",
+            self.window_size, self.dtype, name="attn",
         )(h1, hw=hw)
         x = x + CrossAttention(self.dim, self.num_heads, self.dtype, name="cross_attn")(
             x, y, kv_mask
@@ -259,6 +288,8 @@ class PixArt(nn.Module):
     kv_compress_sampling: Optional[str] = None
     kv_compress_ratio: int = 1
     kv_compress_layers: Sequence[int] = ()
+    window_size: int = 0  # ViT-det windowed attention on selected blocks
+    window_block_indexes: Sequence[int] = ()
     micro_condition: bool = False  # PixArtMS img_hw + aspect-ratio embeds
     grad_checkpoint: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -329,6 +360,7 @@ class PixArt(nn.Module):
                 if i in tuple(self.kv_compress_layers)
                 else 1
             )
+            win = self.window_size if i in tuple(self.window_block_indexes) else 0
             return block_cls(
                 self.hidden_size,
                 self.num_heads,
@@ -336,6 +368,7 @@ class PixArt(nn.Module):
                 self.kv_compress_sampling if sr > 1 else None,
                 sr,
                 self.qk_norm,
+                win,
                 self.dtype,
                 name=name or f"blocks_{i}",
             )
