@@ -213,3 +213,34 @@ def test_sa_solver_stochastic_converges_to_ode():
     # stochastic path differs from deterministic
     det25 = sa_solver_stochastic(model, s, x0, jax.random.key(2), steps=25, tau=0.0)
     assert not np.allclose(np.asarray(sto), np.asarray(det25))
+
+
+def test_ldm_task_variants():
+    from instarevive_tpu.models.unet import UNetBackbone
+    from instarevive_tpu.models.vae import AutoencoderKL
+    from instarevive_tpu.train.ldm_tasks import LatentDiffusionTask
+
+    vae = AutoencoderKL(ch=32, ch_mult=(1, 2), num_res_blocks=1)
+    k = jax.random.key(0)
+    frozen = {"vae": vae.init(k, jnp.zeros((1, 8, 8, 3)))["params"]}
+    sched = make_schedule("ldm_linear", 100)
+    ctx = jnp.zeros((2, 4, 32))
+
+    cases = [
+        ("loss", 4, {}, "v"),
+        ("inpaint_loss", 9, {"mask": jnp.zeros((2, 16, 16, 1)).at[:, 4:12, 4:12].set(1.0)}, "eps"),
+        ("upscale_loss", 8, {"lq": jnp.zeros((2, 8, 8, 3))}, "eps"),
+    ]
+    for fn_name, in_ch, extra, param in cases:
+        unet = UNetBackbone(in_channels=in_ch, model_channels=32, num_head_channels=16,
+                            context_dim=32, channel_mult=(1, 2), attention_ds=(1, 2))
+        task = LatentDiffusionTask(unet, vae, sched, parameterization=param)
+        params = {"unet": unet.init(k, jnp.zeros((1, 8, 8, in_ch)), jnp.zeros((1,)),
+                                    ctx[:1])["params"]}
+        batch = {"hq": jnp.zeros((2, 16, 16, 3)), "context": ctx, **extra}
+        loss, m = getattr(task, fn_name)(params, frozen, batch, jax.random.key(1))
+        assert np.isfinite(float(loss)), fn_name
+        # gradient flows to the unet
+        g = jax.grad(lambda p: getattr(task, fn_name)(p, frozen, batch, jax.random.key(1))[0])(params)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert any(np.abs(np.asarray(leaf)).max() > 0 for leaf in leaves), fn_name
