@@ -111,6 +111,12 @@ def _flash_kernel(
         o_ref[0] = (acc_scratch[:] / jnp.maximum(l_scratch[:, :1], 1e-30)).astype(o_ref.dtype)
 
 
+import os
+
+_BLOCK_Q = int(os.environ.get("FLASH_BLOCK_Q", "512"))
+_BLOCK_K = int(os.environ.get("FLASH_BLOCK_K", "1024"))
+
+
 @functools.partial(
     jax.jit, static_argnames=("scale", "block_q", "block_k", "fp32_softmax")
 )
@@ -120,8 +126,8 @@ def flash_attention(
     v: jnp.ndarray,
     kv_mask: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
-    block_q: int = 512,
-    block_k: int = 1024,
+    block_q: int = _BLOCK_Q,
+    block_k: int = _BLOCK_K,
     fp32_softmax: bool = True,  # kernel always reduces in f32
 ) -> jnp.ndarray:
     """Pallas flash attention. q:(B,H,N,D), k/v:(B,H,Nk,D), kv_mask:(B,Nk).
