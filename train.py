@@ -53,6 +53,8 @@ def parse_args():
                         "--dmd_latent_dir, regression pairs come from disk instead of "
                         "on-the-fly encoding (diffusion/data/datasets/dmd.py layout)")
     p.add_argument("--dmd_latent_dir", default=None)
+    p.add_argument("--context_npz", default=None,
+                   help="precomputed text-encoder features for cldm conditioning")
     return p.parse_args()
 
 
@@ -203,7 +205,18 @@ def main():
             task = ControlLDMTask(unet, cnet, pipe.vae, pipe.swinir, sched,
                                   sd_locked=bool(cfg.get("sd_locked", False)))
             ctx_dim = int(cfg["unet"].get("context_dim", 1024))
-            ctx = jnp.zeros((args.batch_size, 4, ctx_dim))
+            if args.context_npz:
+                # precomputed text-encoder features (CLIP/OpenCLIP/T5 —
+                # models/clip.py / models/t5.py produce these); the cldm
+                # reference conditions on a fixed empty prompt ("txt": "")
+                feat = np.load(args.context_npz)
+                feat = feat[feat.files[0]] if hasattr(feat, "files") else feat
+                feat = np.asarray(feat, np.float32)
+                if feat.ndim == 2:
+                    feat = feat[None]
+                ctx = jnp.asarray(np.repeat(feat[:1], args.batch_size, axis=0))
+            else:
+                ctx = jnp.zeros((args.batch_size, 4, ctx_dim))
             lat = args.crop_size // pipe.latent_factor
             k0 = jax.random.key(args.seed)
             cldm_params = {
