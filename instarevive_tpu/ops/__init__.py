@@ -19,3 +19,18 @@ from instarevive_tpu.ops.color import (  # noqa: F401
     wavelet_blur,
     wavelet_decomposition,
 )
+from instarevive_tpu.ops.diffjpeg import jpeg_compress_decompress  # noqa: F401
+from instarevive_tpu.ops.degradation import (  # noqa: F401
+    KernelConfig,
+    circular_lowpass_kernel,
+    random_add_gaussian_noise,
+    random_add_poisson_noise,
+    sample_final_sinc_kernel,
+    sample_stage_kernel,
+)
+from instarevive_tpu.ops.attention import attention, flash_attention, sdpa  # noqa: F401
+from instarevive_tpu.ops.masking import (  # noqa: F401
+    get_mask_indices,
+    mask_out_tokens,
+    unmask_tokens,
+)
