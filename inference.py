@@ -124,7 +124,20 @@ def main(argv=None):
             )
         return fns[key]
 
-    rng = np.random.default_rng(args.seed)
+    # async dispatch pipelining: enqueue image i+1 on the device before
+    # fetching image i's result (hides per-call dispatch latency)
+    pending = None  # (device_array, th, tw, lq_resized, out_path, t0)
+
+    def flush(p):
+        pred_dev, th, tw, lq_resized, out_path, t0 = p
+        pred = np.asarray(pred_dev)[0, :th, :tw]
+        dt = time.time() - t0
+        if args.show_lq and lq_resized is not None:
+            lq_arr = np.array(lq_resized).astype(np.float32)[..., :3] / 255.0
+            pred = np.concatenate([lq_arr[:th, :tw], pred], axis=1)
+        save_image(pred, out_path)
+        print(f"  {out_path}  ({th}x{tw}, {dt:.2f}s)")
+
     for path in files:
         name = os.path.splitext(os.path.basename(path))[0]
         for i in range(args.repeat_times):
@@ -140,21 +153,21 @@ def main(argv=None):
                 )
             if args.use_center_crop:
                 x = center_crop_arr(lq, 512)
+                lq_resized = None
+                th, tw = 512, 512
             else:
                 lq_resized = auto_resize(lq, args.tile_size if args.tiled else 512)
                 x = pad_to_multiple(np.array(lq_resized), 64)
-            th, tw = (lq_resized.height, lq_resized.width) if not args.use_center_crop else (512, 512)
+                th, tw = lq_resized.height, lq_resized.width
 
             x01 = jnp.asarray(x[None].astype(np.float32) / 255.0)
             t0 = time.time()
-            pred = get_fn(*x01.shape[1:3])(params, x01, y)
-            pred = np.asarray(pred)[0, :th, :tw]
-            dt = time.time() - t0
-            if args.show_lq:
-                lq_arr = np.array(lq_resized).astype(np.float32)[..., :3] / 255.0
-                pred = np.concatenate([lq_arr[:th, :tw], pred], axis=1)
-            save_image(pred, out_path)
-            print(f"  {out_path}  ({th}x{tw}, {dt:.2f}s)")
+            pred_dev = get_fn(*x01.shape[1:3])(params, x01, y)
+            if pending is not None:
+                flush(pending)
+            pending = (pred_dev, th, tw, lq_resized, out_path, t0)
+    if pending is not None:
+        flush(pending)
 
 
 if __name__ == "__main__":
