@@ -1,11 +1,13 @@
 #!/usr/bin/env python
 """Metric evaluation CLI (reference evaluate_img.py:11-65 equivalent).
 
-Paired metrics (PSNR(Y)/SSIM(Y)/LPIPS with --ref_folder) run on-device; the
-reference's pyiqa no-reference metrics (NIQE/MUSIQ/MANIQA/CLIPIQA) require
-pretrained IQA models unavailable in this zero-egress image — pass
---lpips_ckpt/--alexnet_ckpt to enable LPIPS from the torch lpips package
-checkpoints.
+Paired metrics (PSNR(Y)/SSIM(Y)/LPIPS with --ref_folder) run on-device.
+No-reference NIQE is implemented natively (instarevive_tpu/utils/niqe.py):
+pass --niqe_params niqe_pris_params.npz (basicsr/pyiqa format) or
+--niqe_fit <pristine folder> to fit a model in place. The reference's
+remaining pyiqa no-ref metrics (MUSIQ/MANIQA/CLIPIQA) require pretrained
+DNNs unavailable in this zero-egress image — pass --lpips_ckpt/
+--alexnet_ckpt to enable LPIPS from the torch lpips package checkpoints.
 """
 
 from __future__ import annotations
@@ -24,6 +26,10 @@ def main():
     p.add_argument("--y_channel", action="store_true", default=True)
     p.add_argument("--lpips_ckpt", default=None)
     p.add_argument("--alexnet_ckpt", default=None)
+    p.add_argument("--niqe_params", default=None,
+                   help="niqe_pris_params.npz (basicsr/pyiqa format)")
+    p.add_argument("--niqe_fit", default=None,
+                   help="folder of pristine images to fit a NIQE model from")
     args = p.parse_args()
 
     import jax.numpy as jnp
@@ -47,9 +53,25 @@ def main():
         )
         lpips_fn = lp
 
-    results = {"psnr": [], "ssim": [], "lpips": []}
+    niqe_model = None
+    if args.niqe_params or args.niqe_fit:
+        from instarevive_tpu.utils.niqe import (fit_pristine_model,
+                                                load_pris_params, niqe)
+
+        if args.niqe_params:
+            niqe_model = load_pris_params(args.niqe_params)
+        else:
+            pris = [
+                np.asarray(Image.open(f2).convert("L"), np.float64)
+                for f2 in list_image_files(args.niqe_fit)
+            ]
+            niqe_model = fit_pristine_model(pris)
+
+    results = {"psnr": [], "ssim": [], "lpips": [], "niqe": []}
     for f in files:
         img = np.asarray(Image.open(f).convert("RGB"), np.float32)[None] / 255.0
+        if niqe_model is not None:
+            results["niqe"].append(niqe(img[0], niqe_model))
         if args.ref_folder:
             ref_path = os.path.join(args.ref_folder, os.path.basename(f))
             if not os.path.exists(ref_path):

@@ -125,6 +125,13 @@ class PrefetchLoader:
         if self.shuffle:
             self.rng.shuffle(order)
         n_batches = len(order) // self.bs if self.drop_last else -(-len(order) // self.bs)
+        if n_batches == 0:
+            # an empty epoch would make `while steps: for batch in loader`
+            # callers busy-spin forever — fail loudly instead
+            raise ValueError(
+                f"dataset of {len(order)} samples yields no batches of "
+                f"{self.bs} (drop_last={self.drop_last})"
+            )
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         idx_q: "queue.Queue" = queue.Queue()
         for i in range(n_batches):

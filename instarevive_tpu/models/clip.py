@@ -46,6 +46,28 @@ class FrozenCLIPEmbedder:
         return np.asarray(out.last_hidden_state)
 
 
+def build_cond_stage(cfg: dict):
+    """Construct the cldm conditioning encoder from a ``cond_stage`` config
+    block (configs/cldm.yaml; reference cldm.yaml:88-92 cond_stage_config).
+
+    Returns a FrozenCLIPEmbedder, or None when no local model_dir is set
+    (callers then fall back to precomputed features / zero context).
+    ``layer='penultimate'`` reproduces FrozenOpenCLIPEmbedder's output
+    convention — the OpenCLIP ViT-H text tower in HF format loads through
+    the same Flax CLIP text model.
+    """
+    if not cfg or not cfg.get("model_dir"):
+        return None
+    kind = cfg.get("type", "clip")
+    if kind not in ("clip", "open_clip"):
+        raise ValueError(f"unknown cond_stage type {kind!r}")
+    return FrozenCLIPEmbedder(
+        model_dir=cfg["model_dir"],
+        max_length=int(cfg.get("max_length", 77)),
+        layer=cfg.get("layer", "penultimate"),
+    )
+
+
 class ClassEmbedder:
     """Class-id -> embedding with uncond dropout (modules.py ClassEmbedder)."""
 

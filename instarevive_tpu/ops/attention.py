@@ -113,8 +113,12 @@ def _flash_kernel(
 
 import os
 
+# Defaults from tools/flash_sweep.py on v5e at the DiT hot shape
+# (BH=16, n=4096, d=72): large block_k wins — (512,2048) is ~12% faster
+# than (512,1024); small-nk cross-attention is protected by the
+# round_up(nk,128) clamp below.
 _BLOCK_Q = int(os.environ.get("FLASH_BLOCK_Q", "512"))
-_BLOCK_K = int(os.environ.get("FLASH_BLOCK_K", "1024"))
+_BLOCK_K = int(os.environ.get("FLASH_BLOCK_K", "2048"))
 
 
 @functools.partial(

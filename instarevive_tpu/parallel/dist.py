@@ -26,9 +26,14 @@ def init_distributed(
     On Cloud TPU all arguments are discovered automatically; the env-var
     form (MASTER_ADDR/WORLD_SIZE/RANK, the reference launcher's contract)
     is honored when set.
+
+    Must run before anything touches the XLA backend — so the
+    already-initialized check inspects the distributed client state
+    rather than calling jax.process_count() (which would initialize the
+    backend and forbid jax.distributed.initialize afterwards).
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    if _already_initialized():
+        return
     coordinator_address = coordinator_address or _env_coordinator()
     if coordinator_address is None and num_processes is None:
         try:
@@ -41,6 +46,16 @@ def init_distributed(
         num_processes=num_processes or int(os.environ.get("WORLD_SIZE", 1)),
         process_id=process_id if process_id is not None else int(os.environ.get("RANK", 0)),
     )
+
+
+def _already_initialized() -> bool:
+    """True if jax.distributed.initialize already ran (backend-safe probe)."""
+    try:
+        from jax._src import distributed
+
+        return distributed.global_state.client is not None
+    except Exception:
+        return False
 
 
 def _env_coordinator() -> Optional[str]:

@@ -9,7 +9,7 @@ this zero-egress environment).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping, Optional
+from typing import Any, Dict, Mapping, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -56,24 +56,38 @@ def build_pipeline(
     )
 
 
-def init_params(pipe: RestorationPipeline, seed: int = 0) -> Dict[str, Any]:
-    """Seeded random init of all three models (smoke-test path)."""
+def init_params(
+    pipe: RestorationPipeline,
+    seed: int = 0,
+    components: Optional[Tuple[str, ...]] = None,
+) -> Dict[str, Any]:
+    """Seeded random init (smoke-test path).
+
+    ``components`` restricts which models get initialized (e.g.
+    ("swinir", "vae") for the cldm/LDM tasks, which bring their own
+    denoiser) — initializing the default 0.6B DiT costs minutes on CPU
+    and must not be paid by tasks that never use it.
+    """
+    components = components or ("swinir", "vae", "dit")
     k1, k2, k3 = jax.random.split(jax.random.key(seed), 3)
     ex_img = jnp.zeros((1, 64, 64, 3))
     ex_lat = jnp.zeros((1, 8, 8, 4))
-    y = jnp.zeros((1, pipe.dit.model_max_length, pipe.dit.caption_channels))
-    kwargs = {}
-    if pipe.control_depth:
-        kwargs = dict(c=ex_lat, control_depth=pipe.control_depth)
     # jit the inits: one compiled program each instead of thousands of
     # op-by-op RNG dispatches (critical over the remote-TPU tunnel)
-    return {
-        "swinir": jax.jit(pipe.swinir.init)(k1, ex_img)["params"],
-        "vae": jax.jit(pipe.vae.init)(k2, ex_img)["params"],
-        "dit": jax.jit(
+    out: Dict[str, Any] = {}
+    if "swinir" in components:
+        out["swinir"] = jax.jit(pipe.swinir.init)(k1, ex_img)["params"]
+    if "vae" in components:
+        out["vae"] = jax.jit(pipe.vae.init)(k2, ex_img)["params"]
+    if "dit" in components:
+        y = jnp.zeros((1, pipe.dit.model_max_length, pipe.dit.caption_channels))
+        kwargs = {}
+        if pipe.control_depth:
+            kwargs = dict(c=ex_lat, control_depth=pipe.control_depth)
+        out["dit"] = jax.jit(
             lambda k, z, t, yy: pipe.dit.init(k, z, t, yy, **kwargs)
-        )(k3, ex_lat, jnp.zeros((1,)), y)["params"],
-    }
+        )(k3, ex_lat, jnp.zeros((1,)), y)["params"]
+    return out
 
 
 def load_params(

@@ -85,17 +85,27 @@ class ControlLDMTask:
 
     # ---- objectives --------------------------------------------------------
 
-    def eps_loss(self, params, frozen_params, batch, rng):
-        """ControlLDM training_step: standard eps-prediction MSE."""
+    def eps_loss(self, params, frozen_params, batch, rng,
+                 t=None, loss_weights=None):
+        """ControlLDM training_step: standard eps-prediction MSE.
+
+        ``t``/``loss_weights`` may come from an importance sampler
+        (diffusion/timestep_sampler.py LossSecondMomentResampler analog,
+        reference diffusion/model/timestep_sampler.py:27-120); default is
+        the uniform sampler. Per-sample losses are returned in the aux
+        dict so callers can update the sampler's loss history."""
         z0, c_latent = self.get_input(frozen_params, batch)
         t_rng, n_rng = jax.random.split(rng)
         b = z0.shape[0]
-        t = jax.random.randint(t_rng, (b,), 0, self.sched.num_timesteps)
+        if t is None:
+            t = jax.random.randint(t_rng, (b,), 0, self.sched.num_timesteps)
         noise = jax.random.normal(n_rng, z0.shape)
         z_t = G.q_sample(self.sched, z0, t, noise)
         eps = self.apply_model(params, z_t, t, batch["context"], c_latent)
-        loss = jnp.mean((eps - noise) ** 2)
-        return loss, {"loss_simple": loss}
+        per_sample = jnp.mean((eps - noise) ** 2, axis=(1, 2, 3))
+        w = jnp.ones((b,)) if loss_weights is None else loss_weights
+        loss = jnp.mean(per_sample * w)
+        return loss, {"loss_simple": loss, "t": t, "per_sample_loss": per_sample}
 
     def reflow_loss(self, params, frozen_params, batch, rng):
         """Reflow_ControlLDM training_step (:685-750): v on straight path."""

@@ -47,6 +47,11 @@ def parse_args():
     p.add_argument("--resume", default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--degradation", default="realesrgan", choices=["realesrgan", "codeformer"])
+    p.add_argument("--t_sampler", default="uniform",
+                   choices=["uniform", "loss_second_moment"],
+                   help="timestep importance sampler for --task cldm "
+                        "(diffusion/timestep_sampler.py; reference "
+                        "diffusion/model/timestep_sampler.py:27-120)")
     p.add_argument("--queue_size", type=int, default=256)
     p.add_argument("--dmd_noise_dir", default=None,
                    help="paired-noise dir (DMD dataset quadruples) — when set with "
@@ -83,13 +88,25 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
     logger = get_root_logger(os.path.join(args.out, "train.log"))
+
+    # persistent XLA compile cache (per-platform dir so CPU smoke runs and
+    # TPU runs don't evict each other); repeated runs start in seconds
+    _repo = os.path.dirname(os.path.abspath(__file__))
+    _plat = jax.default_backend()
+    _cache = os.path.join(_repo, ".jax_cache" if _plat != "cpu" else ".jax_cache_cpu")
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     writer = MetricWriter(os.path.join(args.out, "tb"))
     logger.info(f"devices: {jax.devices()}  task: {args.task}")
 
     cfg = load_config(args.config)
     pipe = build_pipeline(cfg)
     mesh = make_mesh(fsdp=args.fsdp)
-    params = init_params(pipe, seed=args.seed)
+    # cldm/reflow bring their own UNet denoiser — don't pay the DiT init
+    needed = ("swinir", "vae") if args.task in ("cldm", "reflow") else None
+    params = init_params(pipe, seed=args.seed, components=needed)
+    logger.info("params initialized")
 
     ds = ImageFolderDataset(args.data, out_size=args.crop_size, crop_type="random", seed=args.seed)
     loader = PrefetchLoader(ds, args.batch_size, seed=args.seed)
@@ -251,21 +268,43 @@ def main():
                                       ema=True, ema_rate=args.ema_rate)
             loss_fn = task.reflow_loss if args.task == "reflow" else task.eps_loss
 
+            # loss-second-moment importance sampling of t (eps-loss only):
+            # sampler state rides the step as an explicit carry so the whole
+            # thing stays one jitted pure function.
+            use_lsm = args.t_sampler == "loss_second_moment" and args.task == "cldm"
+            from instarevive_tpu.diffusion.timestep_sampler import (
+                loss_second_moment_init, loss_second_moment_sample,
+                loss_second_moment_update)
+
+            ts0 = loss_second_moment_init(task.sched.num_timesteps) if use_lsm else None
+
             @jax.jit
-            def step(state, batch, key):
-                def lf(p):
-                    return loss_fn(p, frozen, batch, key)
+            def step(state, ts_state, batch, key):
+                t_key, l_key = jax.random.split(key)
+                if use_lsm:  # trace-time constant
+                    t, w = loss_second_moment_sample(
+                        t_key, ts_state, batch["hq"].shape[0])
+
+                    def lf(p):
+                        return loss_fn(p, frozen, batch, l_key,
+                                       t=t, loss_weights=w)
+                else:
+                    def lf(p):
+                        return loss_fn(p, frozen, batch, l_key)
 
                 (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(state.params)
-                return nan_guard(state.apply_gradients, state, grads), metrics
+                if use_lsm:
+                    ts_state = loss_second_moment_update(
+                        ts_state, metrics["t"], metrics["per_sample_loss"])
+                return nan_guard(state.apply_gradients, state, grads), ts_state, metrics
 
             def run_step(state_tuple, batch, key):
-                (state,) = state_tuple
+                state, ts_state = state_tuple
                 cldm_batch = {"hq": batch["hq"], "lq": batch["lq"], "context": ctx}
-                state, m = step(state, cldm_batch, key)
-                return (state,), m
+                state, ts_state, m = step(state, ts_state, cldm_batch, key)
+                return (state, ts_state), m
 
-            states = (state,)
+            states = (state, ts0)
 
         step_i = 0
         if args.resume:
@@ -281,6 +320,7 @@ def main():
             )
             states = (lead,) + states[1:]
             logger.info(f"resumed params from {args.resume}")
+        logger.info("train state ready; entering loop")
         while step_i < args.steps:
             for batch in loader:
                 if step_i >= args.steps:
@@ -288,6 +328,9 @@ def main():
                 key, dk, sk = jax.random.split(key, 3)
                 hq01 = jnp.asarray(batch["hq"], jnp.float32) / 255.0
                 data = degrade_jit(dk, shard_batch(hq01, mesh))
+                if step_i == 0:
+                    jax.block_until_ready(jax.tree_util.tree_leaves(data))
+                    logger.info("degradation program compiled")
                 try:
                     states, metrics = run_step(states, data, sk)
                 except Exception:
@@ -300,7 +343,8 @@ def main():
                     )
                     logger.exception(f"step {step_i} failed; emergency checkpoint saved")
                     raise
-                buf.update({k: float(v) for k, v in metrics.items()})
+                buf.update({k: float(v) for k, v in metrics.items()
+                            if getattr(v, "ndim", 0) == 0})
                 step_i += 1
                 msg = timer.update()
                 if msg:
