@@ -106,12 +106,8 @@ def capture(stage: str, batch: int, size: int, iters: int, out_dir: str):
     lq = jax.random.uniform(key, (batch, size, size, 3))
     f = pipe.latent_factor
     z = jax.random.normal(key, (batch, size // f, size // f, 4)) * 0.2
-    y = jnp.zeros((batch, 1, cfg.dit.caption_channels
-                   if hasattr(cfg.dit, "caption_channels") else 4096), jnp.float32)
-    try:
-        y = pipe.null_embed(batch)
-    except Exception:
-        pass
+    y = jnp.zeros((batch, pipe.dit.model_max_length, pipe.dit.caption_channels),
+                  jnp.float32)
 
     fns = {
         "swinir": (jax.jit(lambda p, a: pipe.clean(p, a)), (params, lq)),

@@ -277,6 +277,12 @@ def main():
                 loss_second_moment_update)
 
             ts0 = loss_second_moment_init(task.sched.num_timesteps) if use_lsm else None
+            if ts0 is not None:
+                # commit replicated now: an uncommitted carry would come back
+                # committed after step 1 and force a second step compile
+                ts0 = jax.device_put(
+                    ts0, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+                )
 
             @jax.jit
             def step(state, ts_state, batch, key):
