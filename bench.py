@@ -42,7 +42,9 @@ def main():
     from instarevive_tpu.pipelines.build import build_pipeline, init_params
 
     backend = jax.default_backend()
-    batch = int(os.environ.get("BENCH_BATCH", "1"))
+    # batch 4 is the serving sweet spot: 5.20 MP/s vs 4.54 at batch 1
+    # (per-sample lax.map for the layout-sensitive conv stages + batched DiT)
+    batch = int(os.environ.get("BENCH_BATCH", "4"))
     size = int(os.environ.get("BENCH_SIZE", "512"))
     iters = int(os.environ.get("BENCH_ITERS", "10" if backend == "tpu" else "2"))
     config = os.environ.get(

@@ -70,15 +70,34 @@ class RestorationPipeline:
     # ---- model stage helpers (pure; params passed explicitly) -------------
 
     def clean(self, params, img):
-        """Stage-1 SwinIR degradation removal; [0,1] NHWC in/out."""
-        return jnp.clip(self.swinir.apply({"params": params["swinir"]}, img), 0.0, 1.0)
+        """Stage-1 SwinIR degradation removal; [0,1] NHWC in/out.
+
+        Batch > 1 runs per-sample (lax.map) like decode: the N>1 conv
+        layouts degrade 3.5x per image at 512² (data movement jumps to
+        48% of device time — tools/trace_ops.py swinir b4 vs b1)."""
+
+        def _clean(x):
+            return jnp.clip(self.swinir.apply({"params": params["swinir"]}, x), 0.0, 1.0)
+
+        if img.shape[0] == 1:
+            return _clean(img)
+        return jax.lax.map(lambda xi: _clean(xi[None])[0], img)
 
     def encode(self, params, img01):
-        """[0,1] image -> scaled latent (posterior mode), inference.py:106-109."""
-        z = self.vae.apply(
-            {"params": params["vae"]}, img01 * 2.0 - 1.0, method=self.vae.encode_mode
-        )
-        return z * VAE_SCALE
+        """[0,1] image -> scaled latent (posterior mode), inference.py:106-109.
+
+        Per-sample for batch > 1 (2.6x-per-image N>1 encoder conv-layout
+        regression at 512², 49.5% data movement in the b4 trace)."""
+
+        def _enc(x):
+            z = self.vae.apply(
+                {"params": params["vae"]}, x * 2.0 - 1.0, method=self.vae.encode_mode
+            )
+            return z * VAE_SCALE
+
+        if img01.shape[0] == 1:
+            return _enc(img01)
+        return jax.lax.map(lambda xi: _enc(xi[None])[0], img01)
 
     def decode(self, params, z):
         """Scaled latent -> [0,1] image, inference.py:117.
