@@ -30,6 +30,9 @@ def main():
                    help="niqe_pris_params.npz (basicsr/pyiqa format)")
     p.add_argument("--niqe_fit", default=None,
                    help="folder of pristine images to fit a NIQE model from")
+    p.add_argument("--clipiqa_model", default=None,
+                   help="local HF CLIP dir (model+tokenizer) for the CLIP-IQA "
+                        "no-reference metric")
     args = p.parse_args()
 
     import jax.numpy as jnp
@@ -67,11 +70,19 @@ def main():
             ]
             niqe_model = fit_pristine_model(pris)
 
-    results = {"psnr": [], "ssim": [], "lpips": [], "niqe": []}
+    clipiqa_fn = None
+    if args.clipiqa_model:
+        from instarevive_tpu.utils.clipiqa import CLIPIQA
+
+        clipiqa_fn = CLIPIQA(model_dir=args.clipiqa_model)
+
+    results = {"psnr": [], "ssim": [], "lpips": [], "niqe": [], "clipiqa": []}
     for f in files:
         img = np.asarray(Image.open(f).convert("RGB"), np.float32)[None] / 255.0
         if niqe_model is not None:
             results["niqe"].append(niqe(img[0], niqe_model))
+        if clipiqa_fn is not None:
+            results["clipiqa"].append(float(clipiqa_fn(img)[0]))
         if args.ref_folder:
             ref_path = os.path.join(args.ref_folder, os.path.basename(f))
             if not os.path.exists(ref_path):

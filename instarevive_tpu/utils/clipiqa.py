@@ -1,0 +1,94 @@
+"""CLIP-IQA — no-reference quality via CLIP antonym prompts.
+
+Fills the pyiqa dependency of the reference's metrics CLI (reference
+evaluate_img.py:17 ``pyiqa.create_metric('clipiqa')``): Wang et al.,
+"Exploring CLIP for Assessing the Look and Feel of Images" (AAAI 2023).
+The score for an image is softmax over the CLIP similarities to an
+antonym prompt pair — default ("Good photo.", "Bad photo.") — so no
+IQA-specific pretrained weights are needed beyond a local CLIP
+checkpoint (zero-egress: pass a downloaded HF CLIP dir).
+
+Backbone note: pyiqa's ``clipiqa`` default uses CLIP RN50 (unavailable
+in HF/Flax); this implementation runs any HF Flax CLIP (ViT family),
+so absolute values are backbone-dependent while the ranking behavior
+matches the method. The multi-prompt "+" variant is supported via
+``prompts=[(pos, neg), ...]`` (scores averaged).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+# CLIP preprocessing constants (openai/CLIP preprocess)
+_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+DEFAULT_PROMPTS: Tuple[Tuple[str, str], ...] = (("Good photo.", "Bad photo."),)
+
+
+class CLIPIQA:
+    """Callable: NHWC float [0,1] images -> quality scores in [0,1]."""
+
+    def __init__(
+        self,
+        model_dir: str | None = None,
+        model=None,
+        tokenizer=None,
+        prompts: Sequence[Tuple[str, str]] = DEFAULT_PROMPTS,
+    ):
+        if model is None or tokenizer is None:
+            from transformers import AutoTokenizer, FlaxCLIPModel
+
+            model = FlaxCLIPModel.from_pretrained(model_dir)
+            tokenizer = AutoTokenizer.from_pretrained(model_dir)
+        self.model = model
+        self.tokenizer = tokenizer
+        self.prompts = list(prompts)
+        self._text_embeds = None
+
+    # -- pieces --------------------------------------------------------------
+
+    def _embed_prompts(self) -> np.ndarray:
+        """(P, 2, D) L2-normalized text embeddings for the antonym pairs."""
+        if self._text_embeds is None:
+            flat: List[str] = [p for pair in self.prompts for p in pair]
+            tok = self.tokenizer(flat, padding=True, return_tensors="np")
+            emb = np.asarray(
+                self.model.get_text_features(
+                    input_ids=tok["input_ids"],
+                    attention_mask=tok.get("attention_mask"),
+                )
+            )
+            emb = emb / np.linalg.norm(emb, axis=-1, keepdims=True)
+            self._text_embeds = emb.reshape(len(self.prompts), 2, -1)
+        return self._text_embeds
+
+    def _preprocess(self, images01: np.ndarray) -> np.ndarray:
+        """[0,1] NHWC -> CLIP NCHW at the vision tower's native size."""
+        import jax.numpy as jnp
+
+        from instarevive_tpu.ops.resize import pil_resize_bicubic
+
+        size = int(self.model.config.vision_config.image_size)
+        x = jnp.asarray(images01, jnp.float32)
+        if x.shape[1] != size or x.shape[2] != size:
+            x = jnp.clip(pil_resize_bicubic(x, (size, size)), 0.0, 1.0)
+        x = (x - _MEAN) / _STD
+        return np.asarray(jnp.transpose(x, (0, 3, 1, 2)))
+
+    # -- public --------------------------------------------------------------
+
+    def __call__(self, images01: np.ndarray) -> np.ndarray:
+        """images01: (N, H, W, 3) in [0,1]. Returns (N,) scores in [0,1]."""
+        pix = self._preprocess(np.asarray(images01))
+        img = np.asarray(self.model.get_image_features(pixel_values=pix))
+        img = img / np.linalg.norm(img, axis=-1, keepdims=True)
+        txt = self._embed_prompts()  # (P, 2, D)
+        # logits = 100 * cos-sim (CLIP's calibrated temperature); softmax
+        # over the (pos, neg) pair -> probability of the positive prompt
+        sims = 100.0 * np.einsum("nd,pkd->npk", img, txt)
+        e = np.exp(sims - sims.max(axis=-1, keepdims=True))
+        probs = e[..., 0] / e.sum(axis=-1)  # (N, P)
+        return probs.mean(axis=-1)
