@@ -89,6 +89,7 @@ def main():
                 "value": round(mps, 4),
                 "unit": "MP/s/chip",
                 "vs_baseline": round(mps / BASELINE_3090_MPS, 3),
+                "baseline": "estimated",  # 0.55 MP/s RTX-3090 estimate, not measured
             }
         )
     )
