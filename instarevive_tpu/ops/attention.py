@@ -61,13 +61,20 @@ def sdpa(
 
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, mask_ref, o_ref, m_scratch, l_scratch, acc_scratch, *, scale, has_mask
+    q_ref, k_ref, v_ref, mask_ref, o_ref, *rest, scale, has_mask, emit_lse
 ):
     """Online-softmax flash attention block step.
 
     Grid: (BH, num_q_blocks, num_k_blocks); the k axis is innermost so the
-    (m, l, acc) scratch carries across k blocks of one q block.
+    (m, l, acc) scratch carries across k blocks of one q block. When
+    ``emit_lse`` (the training path), a second output carries the row
+    logsumexp replicated across 128 lanes — the layout that lets the
+    backward kernels broadcast it with a tile instead of a transpose.
     """
+    if emit_lse:
+        lse_ref, m_scratch, l_scratch, acc_scratch = rest
+    else:
+        m_scratch, l_scratch, acc_scratch = rest
     kb = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -86,7 +93,7 @@ def _flash_kernel(
     )  # (bq, bk)
     s = s * scale
     if has_mask:
-        keep = mask_ref[0] > 0  # (1, bk) int mask
+        keep = mask_ref[0] > 0  # (1, bk) mask
         s = jnp.where(keep, s, _NEG_INF)
 
     m_prev = m_scratch[:, :1]  # (bq, 1)
@@ -108,7 +115,200 @@ def _flash_kernel(
 
     @pl.when(kb == nk - 1)
     def _finalize():
-        o_ref[0] = (acc_scratch[:] / jnp.maximum(l_scratch[:, :1], 1e-30)).astype(o_ref.dtype)
+        l_fin = jnp.maximum(l_scratch[:, :1], 1e-30)
+        o_ref[0] = (acc_scratch[:] / l_fin).astype(o_ref.dtype)
+        if emit_lse:
+            # L = m + log(l): exp(s - L) is the normalized softmax prob
+            lse_ref[0] = m_scratch[:] + jnp.log(
+                jnp.maximum(l_scratch[:], 1e-30)
+            )
+
+
+def _flash_dq_kernel(
+    q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, di_ref, dq_ref, dq_scratch,
+    *, scale, has_mask,
+):
+    """dQ pass (FlashAttention-2 backward): grid (BH, nq_blocks, nk_blocks),
+    k innermost; dq accumulates in scratch across k blocks of one q block."""
+    kb = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        dq_scratch[:] = jnp.zeros_like(dq_scratch)
+
+    q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+    bk = k.shape[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (bq, bk)
+    lse = jnp.tile(lse_ref[0], (1, bk // 128))  # (bq, bk) lane-replicated
+    p = jnp.exp(s - lse)  # normalized softmax probs
+    if has_mask:
+        # zero (not renormalize) masked keys; also keeps fully-masked rows
+        # from exploding (f32 absorption makes s-lse ~ 0 there)
+        p = jnp.where(mask_ref[0] > 0, p, 0.0)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bq, bk)
+    di = jnp.tile(di_ref[0], (1, bk // 128))  # rowsum(do*o), replicated
+    ds = p * (dp - di) * scale
+    dq_scratch[:] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(kb == nk - 1)
+    def _finalize():
+        dq_ref[0] = dq_scratch[:].astype(dq_ref.dtype)
+
+
+def _flash_dkv_kernel(
+    q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref,
+    dk_scratch, dv_scratch, *, scale, has_mask,
+):
+    """dK/dV pass: grid (BH, nk_blocks, nq_blocks), q innermost; dk/dv
+    accumulate in scratch across q blocks of one k block."""
+    qb = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(qb == 0)
+    def _init():
+        dk_scratch[:] = jnp.zeros_like(dk_scratch)
+        dv_scratch[:] = jnp.zeros_like(dv_scratch)
+
+    q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+    bk = k.shape[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (bq, bk)
+    lse = jnp.tile(lse_ref[0], (1, bk // 128))
+    p = jnp.exp(s - lse)
+    if has_mask:
+        p = jnp.where(mask_ref[0] > 0, p, 0.0)
+    # dV += P^T dO  (contract the q dim)
+    dv_scratch[:] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    di = jnp.tile(di_ref[0], (1, bk // 128))
+    ds = p * (dp - di) * scale  # (bq, bk)
+    # dK += dS^T Q
+    dk_scratch[:] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(qb == nq - 1)
+    def _finalize():
+        dk_ref[0] = dk_scratch[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scratch[:].astype(dv_ref.dtype)
+
+
+def _flash_fwd_impl(qf, kf, vf, maskf, scale, has_mask, block_q, block_k, emit_lse):
+    """pallas_call for the forward pass over pre-padded flat (BH, N, D) arrays."""
+    bh, nq, d = qf.shape
+    nk = kf.shape[1]
+    grid = (bh, nq // block_q, nk // block_k)
+    out_shape = [jax.ShapeDtypeStruct((bh, nq, d), qf.dtype)]
+    out_specs = [pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0))]
+    if emit_lse:
+        out_shape.append(jax.ShapeDtypeStruct((bh, nq, 128), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, block_q, 128), lambda bh, i, j: (bh, i, 0)))
+    res = pl.pallas_call(
+        functools.partial(
+            _flash_kernel, scale=scale, has_mask=has_mask, emit_lse=emit_lse
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda bh, i, j: (bh, 0, j)),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+    )(qf, kf, vf, maskf)
+    return (res[0], res[1]) if emit_lse else (res[0], None)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash(qf, kf, vf, maskf, scale, has_mask, block_q, block_k):
+    o, _ = _flash_fwd_impl(qf, kf, vf, maskf, scale, has_mask, block_q, block_k, False)
+    return o
+
+
+def _flash_vjp_fwd(qf, kf, vf, maskf, scale, has_mask, block_q, block_k):
+    o, lse = _flash_fwd_impl(qf, kf, vf, maskf, scale, has_mask, block_q, block_k, True)
+    return o, (qf, kf, vf, maskf, o, lse)
+
+
+def _flash_vjp_bwd(scale, has_mask, block_q, block_k, res, g):
+    qf, kf, vf, maskf, o, lse = res
+    bh, nq, d = qf.shape
+    nk = kf.shape[1]
+    do = g.astype(qf.dtype)
+    # di = rowsum(dO * O), lane-replicated to match the lse layout
+    di = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    di = jnp.broadcast_to(di[..., None], (bh, nq, 128))
+
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),    # q
+        pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),    # k
+        pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),    # v
+        pl.BlockSpec((1, 1, block_k), lambda bh, i, j: (bh, 0, j)),    # mask
+        pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),    # do
+        pl.BlockSpec((1, block_q, 128), lambda bh, i, j: (bh, i, 0)),  # lse
+        pl.BlockSpec((1, block_q, 128), lambda bh, i, j: (bh, i, 0)),  # di
+    ]
+    dq = pl.pallas_call(
+        functools.partial(_flash_dq_kernel, scale=scale, has_mask=has_mask),
+        grid=(bh, nq // block_q, nk // block_k),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, nq, d), qf.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+    )(qf, kf, vf, maskf, do, lse, di)
+
+    # dkv grid swaps the roles: k-blocks outer, q-blocks inner
+    kv_specs = [
+        pl.BlockSpec((1, block_q, d), lambda bh, j, i: (bh, i, 0)),
+        pl.BlockSpec((1, block_k, d), lambda bh, j, i: (bh, j, 0)),
+        pl.BlockSpec((1, block_k, d), lambda bh, j, i: (bh, j, 0)),
+        pl.BlockSpec((1, 1, block_k), lambda bh, j, i: (bh, 0, j)),
+        pl.BlockSpec((1, block_q, d), lambda bh, j, i: (bh, i, 0)),
+        pl.BlockSpec((1, block_q, 128), lambda bh, j, i: (bh, i, 0)),
+        pl.BlockSpec((1, block_q, 128), lambda bh, j, i: (bh, i, 0)),
+    ]
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_dkv_kernel, scale=scale, has_mask=has_mask),
+        grid=(bh, nk // block_k, nq // block_q),
+        in_specs=kv_specs,
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda bh, j, i: (bh, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, j, i: (bh, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, nk, d), kf.dtype),
+            jax.ShapeDtypeStruct((bh, nk, d), vf.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+    )(qf, kf, vf, maskf, do, lse, di)
+    return dq, dk, dv, jnp.zeros_like(maskf)
+
+
+_flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 
 
 import os
@@ -135,6 +335,11 @@ def flash_attention(
     fp32_softmax: bool = True,  # kernel always reduces in f32
 ) -> jnp.ndarray:
     """Pallas flash attention. q:(B,H,N,D), k/v:(B,H,Nk,D), kv_mask:(B,Nk).
+
+    Fully differentiable: the backward is two Pallas kernels (dq and dkv
+    FlashAttention-2 passes) bound via jax.custom_vjp — this is the training
+    attention for the full-size DiT/UNet (the reference trains through
+    xformers memory_efficient_attention, PixArt_blocks.py:53,153,207).
 
     Ragged sizes are handled by internal padding: q rows are padded (and
     sliced off the output); padded keys are masked out — so any (nq, nk)
@@ -169,33 +374,17 @@ def flash_attention(
     kf = k.reshape(b * h, nk_pad, d)
     vf = v.reshape(b * h, nk_pad, d)
     if kv_mask is None:
-        maskf = jnp.ones((b * h, 1, nk_pad), dtype=jnp.int32)
+        # float mask so custom_vjp can hand back an ordinary zero cotangent
+        maskf = jnp.ones((b * h, 1, nk_pad), dtype=jnp.float32)
         has_mask = False
     else:
-        maskf = jnp.repeat(kv_mask.astype(jnp.int32)[:, None, :], h, axis=0).reshape(
-            b * h, 1, nk_pad
-        )
+        maskf = jnp.repeat(
+            kv_mask.astype(jnp.float32)[:, None, :], h, axis=0
+        ).reshape(b * h, 1, nk_pad)
         has_mask = True
     nq_orig, nq, nk = nq, nq_pad, nk_pad
 
-    grid = (b * h, nq // block_q, nk // block_k)
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, has_mask=has_mask),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),
-            pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),
-            pl.BlockSpec((1, 1, block_k), lambda bh, i, j: (bh, 0, j)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, nq, d), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
-        ],
-    )(qf, kf, vf, maskf)
+    out = _flash(qf, kf, vf, maskf, scale, has_mask, block_q, block_k)
     out = out.reshape(b, h, nq, d)
     return out[:, :, :nq_orig] if nq_orig != nq else out
 
@@ -211,7 +400,11 @@ def attention(
     impl: str = "auto",
 ) -> jnp.ndarray:
     """Dispatch: Pallas flash kernel on TPU for long unbiased sequences,
-    XLA reference otherwise (CPU tests, small windows, biased attention)."""
+    XLA reference otherwise (CPU tests, small windows, biased attention).
+    ``IR_ATTN_IMPL=flash|xla`` force-overrides (read at trace time; used by
+    tools/tpu_train_step_check.py for flash-vs-xla grad comparison)."""
+    if impl == "auto" and bias is None:  # biased (rel-pos) stays on XLA
+        impl = os.environ.get("IR_ATTN_IMPL", "auto")
     if impl == "auto":
         on_tpu = jax.default_backend() == "tpu"
         # flash for any long-query attention (kernel pads ragged k lengths);

@@ -106,3 +106,62 @@ def test_flash_ragged_with_user_mask_interpret():
                 kv_mask=jnp.asarray(mask), block_q=128, block_k=128,
             )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_flash_grads_match_sdpa_interpret(masked):
+    """Differentiable flash attention (VERDICT r1 item 1): the custom_vjp
+    Pallas dq/dkv backward kernels match jax.grad through sdpa — the
+    training path for full-size DiT/UNet attention (reference trains via
+    xformers memory_efficient_attention, PixArt_blocks.py:53,153,207)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    q, k, v = _rand_qkv(b=2, h=2, nq=256, nk=256, d=64, seed=7)
+    q, k, v = jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+    mask = None
+    if masked:
+        m = np.ones((2, 256), dtype=bool)
+        m[0, 100:] = False
+        m[1, 200:] = False
+        mask = jnp.asarray(m)
+
+    def loss_flash(q, k, v):
+        out = flash_attention(q, k, v, kv_mask=mask, block_q=128, block_k=128)
+        return jnp.sum(out**2)
+
+    def loss_sdpa(q, k, v):
+        return jnp.sum(sdpa(q, k, v, kv_mask=mask) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gs = jax.grad(loss_sdpa, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", gf, gs):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4, err_msg=f"d{name}"
+        )
+
+
+def test_flash_grads_ragged_cross_attn_interpret():
+    """Grads through the padded ragged path (300-token T5 cross-attention)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    q, k, v = _rand_qkv(b=1, h=2, nq=200, nk=300, d=64, seed=8)
+    q, k, v = jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+    m = np.ones((1, 300), dtype=bool)
+    m[0, 250:] = False
+    mask = jnp.asarray(m)
+
+    def loss_flash(q, k, v):
+        out = flash_attention(q, k, v, kv_mask=mask, block_q=128, block_k=128)
+        return jnp.sum(out**2)
+
+    def loss_sdpa(q, k, v):
+        return jnp.sum(sdpa(q, k, v, kv_mask=mask) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gs = jax.grad(loss_sdpa, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", gf, gs):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4, err_msg=f"d{name}"
+        )
