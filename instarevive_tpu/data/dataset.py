@@ -119,12 +119,34 @@ class PrefetchLoader:
         self.prefetch = prefetch
         self.rng = np.random.default_rng(seed)
         self.drop_last = drop_last
+        self._skip_next = 0
+
+    def __len__(self) -> int:
+        n = len(self.ds)
+        return n // self.bs if self.drop_last else -(-n // self.bs)
+
+    def fast_forward(self, total_batches: int) -> None:
+        """Advance the loader past ``total_batches`` already-consumed batches
+        (checkpoint resume): replays the per-epoch shuffles so the data
+        stream continues exactly where the interrupted run left off, without
+        loading any images."""
+        per_epoch = len(self)
+        for _ in range(total_batches // per_epoch):
+            if self.shuffle:  # consume one epoch's shuffle draw
+                self.rng.shuffle(np.arange(len(self.ds)))
+        self._skip_next = total_batches % per_epoch
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = np.arange(len(self.ds))
         if self.shuffle:
             self.rng.shuffle(order)
+        skip, self._skip_next = self._skip_next, 0
         n_batches = len(order) // self.bs if self.drop_last else -(-len(order) // self.bs)
+        if skip:
+            order = order[min(skip, n_batches) * self.bs :]
+            n_batches = max(n_batches - skip, 0)
+            if n_batches == 0:
+                return iter(())
         if n_batches == 0:
             # an empty epoch would make `while steps: for batch in loader`
             # callers busy-spin forever — fail loudly instead

@@ -38,11 +38,105 @@ def load_checkpoint(path: str, target: Optional[Any] = None) -> Any:
         return ckptr.restore(path)
 
 
-def load_torch_state_dict(path: str) -> Dict[str, Any]:
-    """Load a torch .pth/.ckpt on host CPU and unwrap common containers."""
+def save_train_state(path: str, states, key, step_i: int) -> None:
+    """Full-fidelity training checkpoint (reference
+    ``diffusion/utils/checkpoint.py:40-85`` restores optimizer/scheduler/
+    epoch; ``scripts/DMD/transformer_train/utils.py:39-158`` saves both DMD
+    models): every TrainState in ``states`` round-trips params, EMA,
+    optimizer moments and step; non-TrainState carries (e.g. the
+    loss-second-moment sampler state) are saved verbatim; the jitted loop's
+    RNG key and global step make the resume bitwise-deterministic."""
+    tree = {
+        "states": [_state_to_tree(s) for s in states],
+        "rng": jax.random.key_data(key),
+        "step_i": np.asarray(step_i, np.int64),
+    }
+    save_checkpoint(path, jax.device_get(tree))
+
+
+def restore_train_state(path: str, states, key):
+    """Restore a ``save_train_state`` checkpoint into freshly-created states
+    (used as the orbax target so optax namedtuple types survive). Falls back
+    to legacy params/EMA-only checkpoints. Returns (states, key, step_i)."""
+    target = {
+        "states": [_state_to_tree(s) for s in states],
+        "rng": jax.random.key_data(key),
+        "step_i": np.asarray(0, np.int64),
+    }
+    try:
+        restored = load_checkpoint(path, target=jax.device_get(target))
+    except Exception:
+        legacy = load_checkpoint(path)  # {"params": ..., "ema": ...}
+        lead = states[0].replace(
+            params=jax.tree_util.tree_map(jnp_asarray, legacy["params"]),
+            ema_params=(
+                jax.tree_util.tree_map(jnp_asarray, legacy["ema"])
+                if legacy.get("ema") is not None
+                else states[0].ema_params
+            ),
+        )
+        return (lead,) + tuple(states[1:]), key, 0
+
+    new_states = tuple(
+        _tree_to_state(s, t) for s, t in zip(states, restored["states"])
+    )
+    new_key = jax.random.wrap_key_data(restored["rng"])
+    return new_states, new_key, int(restored["step_i"])
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x)
+
+
+def _state_to_tree(s):
+    if hasattr(s, "opt_state"):  # TrainState
+        return {
+            "step": s.step,
+            "params": s.params,
+            "opt_state": s.opt_state,
+            "ema": s.ema_params,
+        }
+    return s  # plain pytree carry (or None)
+
+
+def _tree_to_state(template, tree):
+    if hasattr(template, "opt_state"):
+        return template.replace(
+            step=tree["step"],
+            params=tree["params"],
+            opt_state=tree["opt_state"],
+            ema_params=tree["ema"],
+        )
+    return tree
+
+
+def _torch_load_safe(path: str):
+    """torch.load that prefers the safe ``weights_only=True`` path.
+
+    ``weights_only=False`` executes arbitrary pickle code from the file, so
+    it is only used as a fallback behind the explicit opt-in env flag
+    ``IR_UNSAFE_TORCH_LOAD=1`` (for legacy checkpoints that pickle
+    non-tensor objects, e.g. OmegaConf configs inside Lightning ckpts).
+    """
     import torch
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        return torch.load(path, map_location="cpu", weights_only=True)
+    except Exception as e:  # pickled non-tensor payload
+        if os.environ.get("IR_UNSAFE_TORCH_LOAD") != "1":
+            raise RuntimeError(
+                f"{path} needs full unpickling (weights_only=True failed: {e}). "
+                "Loading it executes arbitrary code from the file; set "
+                "IR_UNSAFE_TORCH_LOAD=1 only for checkpoints you trust."
+            ) from e
+        return torch.load(path, map_location="cpu", weights_only=False)
+
+
+def load_torch_state_dict(path: str) -> Dict[str, Any]:
+    """Load a torch .pth/.ckpt on host CPU and unwrap common containers."""
+    obj = _torch_load_safe(path)
     if isinstance(obj, Mapping):
         for key in ("state_dict", "state_dict_ema", "model", "module"):
             if key in obj and isinstance(obj[key], Mapping):
@@ -59,9 +153,7 @@ def load_null_embed(path: str) -> np.ndarray:
         if hasattr(arr, "files"):
             arr = arr[arr.files[0]]
     else:
-        import torch
-
-        t = torch.load(path, map_location="cpu", weights_only=False)
+        t = _torch_load_safe(path)
         if isinstance(t, Mapping):
             t = next(iter(t.values()))
         arr = t.detach().float().numpy()

@@ -92,6 +92,47 @@ def reflow_sample_1step(sched, model_fn, params, z_T, cond):
 # ---------------------------------------------------------------------------
 
 
+def make_cfg_real_fn(raw_fn: Callable, y_null: jnp.ndarray, cfg_scale: float):
+    """Fold classifier-free guidance into the frozen teacher ("real score").
+
+    The reference DMD recipe trains with --cfg 3 on the teacher
+    (``scripts/run_pixart_dmd.py:95``); guidance follows the PixArt
+    ``forward_with_cfg`` convention (``diffusion/model/nets/PixArt.py:184-197``):
+    eps = eps_uncond + s * (eps_cond - eps_uncond), with the cached null-prompt
+    T5 embedding as the unconditional branch. The cond/uncond pair runs as one
+    batched 2B call (better MXU utilization than two B calls).
+
+    raw_fn: (z, t, **cond) -> eps with the sigma split already applied.
+    y_null: (L, C) or (1, L, C) null-prompt embedding.
+    """
+    if cfg_scale == 1.0:
+        return raw_fn
+    y_null = jnp.asarray(y_null)
+    if y_null.ndim == 3:
+        y_null = y_null[0]
+
+    def real_fn(z, t, **cond):
+        y = cond["y"]
+        L = y.shape[1]
+        yn = y_null
+        if yn.shape[0] < L:  # fit the null embed to the cond token length
+            yn = jnp.pad(yn, ((0, L - yn.shape[0]), (0, 0)))
+        elif yn.shape[0] > L:
+            yn = yn[:L]
+        yn = jnp.broadcast_to(yn[None].astype(y.dtype), y.shape)
+        cond2 = dict(cond)
+        cond2["y"] = jnp.concatenate([y, yn], axis=0)
+        if "mask" in cond2 and cond2["mask"] is not None:
+            cond2["mask"] = jnp.concatenate([cond2["mask"], cond2["mask"]], axis=0)
+        eps2 = raw_fn(
+            jnp.concatenate([z, z], axis=0), jnp.concatenate([t, t], axis=0), **cond2
+        )
+        e_cond, e_uncond = jnp.split(eps2, 2, axis=0)
+        return e_uncond + cfg_scale * (e_cond - e_uncond)
+
+    return real_fn
+
+
 def dmd_weighting(sched: DiffusionSchedule, x0_pred, x0_real, t):
     """Per-sample normalizer: DMD uses 1 / mean|x0_pred - x0_real| so the
     distribution-matching gradient has unit scale."""
@@ -185,11 +226,12 @@ def make_dmd_train_step(
     *,
     maxt: int = 400,
     regression_weight: float = 0.25,
-    cfg_scale: float = 3.0,  # folded into real_fn by the caller
 ):
     """Returns train_step(gen_state, fake_state, batch, rng) -> (states, metrics).
 
     The two optimizers mirror the reference's --lr_fake_multiplier split.
+    Teacher CFG (--cfg 3) must already be folded into real_fn — use
+    ``make_cfg_real_fn`` (the launcher does this in train.py).
     """
 
     def train_step(gen_state, fake_state, batch, rng, cond=None):

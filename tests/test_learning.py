@@ -63,3 +63,138 @@ def test_dmd_loop_learns():
         np.asarray(jax.tree_util.tree_leaves(gen_state.ema_params)[0]),
         np.asarray(jax.tree_util.tree_leaves(gen_state.params)[0]),
     )
+
+
+def test_cfg_real_fn_changes_dm_gradient():
+    """Teacher CFG is load-bearing: with a non-zero cond/uncond gap the
+    distribution-matching gradient differs between cfg_scale=1 and 3
+    (reference trains with --cfg 3, scripts/run_pixart_dmd.py:95)."""
+    from instarevive_tpu.train.distill import dmd_generator_loss, make_cfg_real_fn
+
+    sched = make_schedule("linear", 1000)
+    dit = PixArt(input_size=8, patch_size=2, hidden_size=64, depth=2, num_heads=4,
+                 caption_channels=32, model_max_length=8, mlp_ratio=2.0)
+    y = jax.random.normal(jax.random.key(10), (2, 8, 32))
+    y_null = jax.random.normal(jax.random.key(11), (8, 32))
+
+    def gen_fn(p, z, t, **cond):
+        out = dit.apply({"params": p}, z, t.astype(jnp.float32), cond["y"])
+        return out[..., : z.shape[-1]]
+
+    init = dit.init(jax.random.key(0), jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)),
+                    y[:1])["params"]
+    teacher = jax.tree_util.tree_map(jnp.copy, init)
+
+    def teacher_fn(z, t, **cond):
+        return gen_fn(teacher, z, t, **cond)
+
+    batch = {
+        "noise": jax.random.normal(jax.random.key(1), (2, 8, 8, 4)),
+        "latent": jax.random.normal(jax.random.key(2), (2, 8, 8, 4)) * 0.3,
+    }
+
+    def grad_for(scale):
+        real = make_cfg_real_fn(teacher_fn, y_null, scale)
+
+        def loss(p):
+            l, _ = dmd_generator_loss(
+                sched, gen_fn, real, gen_fn, p, teacher, batch,
+                jax.random.key(3), use_regression=False, cond={"y": y},
+            )
+            return l
+
+        return jax.grad(loss)(init)
+
+    g1, g3 = grad_for(1.0), grad_for(3.0)
+    diffs = [
+        float(jnp.abs(a - b).max())
+        for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g3))
+    ]
+    assert max(diffs) > 1e-6, max(diffs)
+    # cfg_scale=1 short-circuits to the raw teacher (no 2B batching)
+    assert make_cfg_real_fn(teacher_fn, y_null, 1.0) is teacher_fn
+
+
+def test_kill_resume_bitwise(tmp_path):
+    """Full train-state checkpointing (VERDICT r1 item 4): save at step 5,
+    restore into freshly-created states, continue to step 10 — bitwise equal
+    to an uninterrupted 10-step run (params, EMA, optimizer moments, fake
+    score state, RNG). Reference restores optimizer/scheduler/epoch
+    (diffusion/utils/checkpoint.py:40-85)."""
+    from instarevive_tpu.train import checkpoint as ckpt
+
+    sched = make_schedule("linear", 1000)
+    dit = PixArt(input_size=8, patch_size=2, hidden_size=32, depth=1, num_heads=2,
+                 caption_channels=16, model_max_length=8, mlp_ratio=2.0)
+    y = jnp.zeros((2, 8, 16))
+
+    def gen_fn(p, z, t, **cond):
+        out = dit.apply({"params": p}, z, t.astype(jnp.float32), cond["y"])
+        return out[..., : z.shape[-1]]
+
+    init = dit.init(jax.random.key(0), jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)),
+                    y[:1])["params"]
+    teacher = jax.tree_util.tree_map(jnp.copy, init)
+
+    def real_fn(z, t, **cond):
+        return gen_fn(teacher, z, t, **cond)
+
+    def fresh_states():
+        tx = build_optimizer("adamw", constant_with_warmup(1e-3, 5), grad_clip_norm=10.0)
+        gen = TrainState.create(jax.tree_util.tree_map(jnp.copy, init), tx, ema=True)
+        fake = TrainState.create(jax.tree_util.tree_map(jnp.copy, init), tx, ema=False)
+        return (gen, fake)
+
+    step = jax.jit(make_dmd_train_step(sched, gen_fn, real_fn, gen_fn, TrainState))
+    batch = {
+        "noise": jax.random.normal(jax.random.key(1), (2, 8, 8, 4)),
+        "latent": jax.random.normal(jax.random.key(2), (2, 8, 8, 4)) * 0.3,
+    }
+
+    def run(states, key, n):
+        for _ in range(n):
+            key, sk = jax.random.split(key)
+            g, f, _ = step(states[0], states[1], batch, sk, {"y": y})
+            states = (g, f)
+        return states, key
+
+    # uninterrupted 10 steps
+    ref_states, _ = run(fresh_states(), jax.random.key(7), 10)
+
+    # interrupted: 5 steps -> save -> restore into fresh states -> 5 steps
+    mid_states, mid_key = run(fresh_states(), jax.random.key(7), 5)
+    path = str(tmp_path / "ck5")
+    ckpt.save_train_state(path, mid_states, mid_key, 5)
+    restored, key2, step_i = ckpt.restore_train_state(path, fresh_states(), jax.random.key(7))
+    assert step_i == 5
+    fin_states, _ = run(restored, key2, 5)
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ref_states), jax.tree_util.tree_leaves(fin_states)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_restore_legacy_params_only(tmp_path):
+    """Old {params, ema} checkpoints still load via the fallback path."""
+    from instarevive_tpu.train import checkpoint as ckpt
+
+    dit = PixArt(input_size=8, patch_size=2, hidden_size=32, depth=1, num_heads=2,
+                 caption_channels=16, model_max_length=8, mlp_ratio=2.0)
+    y = jnp.zeros((1, 8, 16))
+    init = dit.init(jax.random.key(0), jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)),
+                    y)["params"]
+    tx = build_optimizer("adamw", constant_with_warmup(1e-3, 5), grad_clip_norm=10.0)
+    state = TrainState.create(init, tx, ema=True)
+    mutated = jax.tree_util.tree_map(lambda x: x + 1.0, init)
+    path = str(tmp_path / "legacy")
+    ckpt.save_checkpoint(path, jax.device_get({"params": mutated, "ema": mutated}))
+
+    (restored,), key, step_i = ckpt.restore_train_state(
+        path, (state,), jax.random.key(3)
+    )
+    assert step_i == 0
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(mutated)[0]),
+    )

@@ -58,6 +58,14 @@ def parse_args():
                         "--dmd_latent_dir, regression pairs come from disk instead of "
                         "on-the-fly encoding (diffusion/data/datasets/dmd.py layout)")
     p.add_argument("--dmd_latent_dir", default=None)
+    p.add_argument("--dmd_t5_dir", default=None,
+                   help="per-sample T5 caption-feature dir (.npz with "
+                        "caption_feature) supplying real prompt embeddings for "
+                        "the DMD loop instead of the null/zero conditioning")
+    p.add_argument("--null_embed", default=None,
+                   help="cached T5 null-prompt embedding (.pth/.npy); used as "
+                        "the unconditional branch of the teacher's CFG "
+                        "(reference scripts/run_pixart_dmd.py --cfg 3)")
     p.add_argument("--context_npz", default=None,
                    help="precomputed text-encoder features for cldm conditioning")
     return p.parse_args()
@@ -80,7 +88,11 @@ def main():
     from instarevive_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
     from instarevive_tpu.pipelines.build import build_pipeline, init_params
     from instarevive_tpu.train import checkpoint as ckpt
-    from instarevive_tpu.train.distill import make_dmd_train_step, swinir_loss
+    from instarevive_tpu.train.distill import (
+        make_cfg_real_fn,
+        make_dmd_train_step,
+        swinir_loss,
+    )
     from instarevive_tpu.train.optim import build_optimizer, constant_with_warmup
     from instarevive_tpu.train.state import TrainState
     from instarevive_tpu.utils.debug import SimpleTimer, nan_guard
@@ -160,8 +172,25 @@ def main():
 
             teacher = jax.tree_util.tree_map(jnp.copy, params["dit"])
 
-            def real_fn(z, t, **cond):
+            def teacher_fn(z, t, **cond):
                 return gen_fn(teacher, z, t, **cond)
+
+            # Teacher CFG (reference trains with --cfg 3 on the real score,
+            # scripts/run_pixart_dmd.py:95): uncond branch = cached null-prompt
+            # T5 embedding. Without --null_embed we fall back to zeros, which
+            # matches the CaptionEmbedder's uncond drop only if the checkpoint's
+            # y_embedding is zero — pass --null_embed for faithful guidance.
+            if args.null_embed:
+                y_null = jnp.asarray(ckpt.load_null_embed(args.null_embed))
+            else:
+                y_null = jnp.zeros(
+                    (pipe.dit.model_max_length, pipe.dit.caption_channels)
+                )
+                if args.cfg_scale != 1.0:
+                    logger.warning(
+                        "cfg_scale=%.1f with no --null_embed: using a zero "
+                        "uncond embedding", args.cfg_scale)
+            real_fn = make_cfg_real_fn(teacher_fn, y_null, args.cfg_scale)
 
             gen_state = TrainState.create(
                 shard_params(params["dit"], mesh), tx, ema=True, ema_rate=args.ema_rate
@@ -184,27 +213,49 @@ def main():
             enc_jit = jax.jit(lambda p, img01: pipe.encode(p, img01))
 
             pair_loader = None
+            pair_prefetch = None
             if args.dmd_noise_dir and args.dmd_latent_dir:
                 from instarevive_tpu.data.internal import DMDPairDataset
 
-                pair_ds = DMDPairDataset(args.dmd_noise_dir, args.dmd_latent_dir)
-                pair_loader = iter(PrefetchLoader(pair_ds, args.batch_size, seed=args.seed))
+                pair_ds = DMDPairDataset(
+                    args.dmd_noise_dir, args.dmd_latent_dir, t5_dir=args.dmd_t5_dir
+                )
+                pair_prefetch = PrefetchLoader(pair_ds, args.batch_size, seed=args.seed)
+
+                def _cycle(ld):  # epochs cycle forever (loader = one epoch)
+                    while True:
+                        yield from ld
+
+                pair_loader = _cycle(pair_prefetch)
+
+            def _fit_tokens(fea):
+                """(B,[1,]L,C) caption features -> (B, model_max_length, C)."""
+                fea = jnp.asarray(fea)
+                if fea.ndim == 4:
+                    fea = fea[:, 0]
+                L = pipe.dit.model_max_length
+                if fea.shape[1] < L:
+                    fea = jnp.pad(fea, ((0, 0), (0, L - fea.shape[1]), (0, 0)))
+                return fea[:, :L]
 
             def run_step(states, batch, key):
                 gen_state, fake_state = states
                 k1, k2 = jax.random.split(key)
+                y_step = y
                 if pair_loader is not None:
                     pair = next(pair_loader)
                     dmd_batch = {
                         "noise": jnp.asarray(pair["noise"]),
                         "latent": jnp.asarray(pair["latent"]),
                     }
+                    if "txt_fea" in pair:  # real prompt embeds from --dmd_t5_dir
+                        y_step = _fit_tokens(pair["txt_fea"])
                 else:
                     latent = enc_jit(params, (batch["hq"] + 1.0) / 2.0)
                     noise = jax.random.normal(k1, latent.shape)
                     dmd_batch = {"noise": noise, "latent": latent}
                 gen_state, fake_state, m = dmd_step(
-                    gen_state, fake_state, dmd_batch, k2, {"y": y}
+                    gen_state, fake_state, dmd_batch, k2, {"y": y_step}
                 )
                 return (gen_state, fake_state), m
 
@@ -314,18 +365,17 @@ def main():
 
         step_i = 0
         if args.resume:
-            # resume params/EMA from an orbax checkpoint (the reference's
-            # --resume_from_checkpoint, diffusion/utils/checkpoint.py:40-85)
-            restored = ckpt.load_checkpoint(args.resume)
-            lead = states[0].replace(
-                params=jax.tree_util.tree_map(jnp.asarray, restored["params"]),
-                ema_params=(
-                    jax.tree_util.tree_map(jnp.asarray, restored["ema"])
-                    if restored.get("ema") is not None else states[0].ema_params
-                ),
-            )
-            states = (lead,) + states[1:]
-            logger.info(f"resumed params from {args.resume}")
+            # Full train-state resume (reference diffusion/utils/checkpoint.py:
+            # 40-85 restores optimizer/scheduler/epoch; the DMD side saves both
+            # models, scripts/DMD/transformer_train/utils.py:39-158): params,
+            # EMA, optimizer moments, fake-score state, LSM carry, RNG key and
+            # step all round-trip. Legacy params/EMA-only checkpoints still load.
+            states, key, step_i = ckpt.restore_train_state(args.resume, states, key)
+            if step_i:
+                loader.fast_forward(step_i)
+                if args.task == "dmd" and pair_prefetch is not None:
+                    pair_prefetch.fast_forward(step_i)
+            logger.info(f"resumed full train state from {args.resume} at step {step_i}")
         logger.info("train state ready; entering loop")
         while step_i < args.steps:
             for batch in loader:
@@ -341,11 +391,10 @@ def main():
                     states, metrics = run_step(states, data, sk)
                 except Exception:
                     # crash recovery (SURVEY §5 failure detection): dump an
-                    # emergency checkpoint before propagating
-                    ckpt.save_checkpoint(
+                    # emergency full-state checkpoint before propagating
+                    ckpt.save_train_state(
                         os.path.join(args.out, f"crash_step_{step_i}"),
-                        jax.device_get({"params": states[0].params,
-                                        "ema": states[0].ema_params}),
+                        states, key, step_i,
                     )
                     logger.exception(f"step {step_i} failed; emergency checkpoint saved")
                     raise
@@ -358,18 +407,12 @@ def main():
                     logger.info(f"{msg}  {avg}")
                     writer.scalars(step_i, avg)
                 if step_i % args.checkpointing_steps == 0:
-                    ckpt.save_checkpoint(
-                        os.path.join(args.out, f"step_{step_i}"),
-                        jax.device_get(
-                            {"params": states[0].params, "ema": states[0].ema_params}
-                        ),
+                    ckpt.save_train_state(
+                        os.path.join(args.out, f"step_{step_i}"), states, key, step_i
                     )
                     logger.info(f"checkpoint at step {step_i}")
 
-        ckpt.save_checkpoint(
-            os.path.join(args.out, "final"),
-            jax.device_get({"params": states[0].params, "ema": states[0].ema_params}),
-        )
+        ckpt.save_train_state(os.path.join(args.out, "final"), states, key, step_i)
         writer.flush()
         logger.info("done")
 
