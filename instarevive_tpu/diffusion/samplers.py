@@ -57,27 +57,42 @@ def plms_sample_loop(
         x0 = (x - jnp.sqrt(1 - abar) * eps) / jnp.sqrt(abar)
         return jnp.sqrt(abar_prev) * x0 + jnp.sqrt(1 - abar_prev) * eps
 
-    # warm up the multistep buffer with an RK2-style first step
+    # Staged multistep warmup, matching the reference ladder exactly
+    # (plms.py p_sample_plms): RK2 first step, then order-2 (3e-e1)/2 and
+    # order-3 (23e-16e1+5e2)/12 steps before switching to 4th-order AB.
     idx0 = n - 1
     e0 = get_eps(x, idx0)
     x1 = transfer(x, e0, idx0)
     e1 = get_eps(x1, max(idx0 - 1, 0))
-    e_prime = (e0 + e1) / 2.0
-    x = transfer(x, e_prime, idx0)
-    hist = jnp.stack([e0, e0, e0, e0])  # (4, ...) newest at index 0 below
+    x = transfer(x, (e0 + e1) / 2.0, idx0)
+    old = [e0]  # real eps history, newest last (reference old_eps list)
+
+    idx = n - 2
+    for formula in (
+        lambda e, o: (3 * e - o[-1]) / 2.0,
+        lambda e, o: (23 * e - 16 * o[-1] + 5 * o[-2]) / 12.0,
+    ):
+        if idx < 0:
+            return x
+        eps = get_eps(x, idx)
+        x = transfer(x, formula(eps, old), idx)
+        old.append(eps)
+        idx -= 1
+
+    hist = jnp.stack([old[-1], old[-2], old[-3]])  # newest at index 0
 
     def step(carry, idx):
         x, hist = carry
         eps = get_eps(x, idx)
-        h0, h1, h2, h3 = hist[0], hist[1], hist[2], hist[3]
+        h0, h1, h2 = hist[0], hist[1], hist[2]
         # 4th-order Adams-Bashforth (plms.py get_x_prev_and_pred_x0 ladder)
         eps_prime = (55 * eps - 59 * h0 + 37 * h1 - 9 * h2) / 24.0
         x_new = transfer(x, eps_prime, idx)
-        hist = jnp.stack([eps, h0, h1, h2])
+        hist = jnp.stack([eps, h0, h1])
         return (x_new, hist), None
 
-    if n > 1:
-        (x, _), _ = jax.lax.scan(step, (x, hist), jnp.arange(n - 2, -1, -1))
+    if idx >= 0:
+        (x, _), _ = jax.lax.scan(step, (x, hist), jnp.arange(idx, -1, -1))
     return x
 
 
@@ -94,6 +109,18 @@ def lcm_boundary_scalings(t, sigma_data: float = 0.5, timestep_scaling: float = 
     return c_skip, c_out
 
 
+def lcm_timesteps(
+    num_train_timesteps: int, num_steps: int, lcm_origin_steps: int
+) -> np.ndarray:
+    """LCMScheduler.set_timesteps (lcm_scheduler.py:288-312): subsample the
+    LCM *training* ladder (every c-th original step, c = T // origin) by the
+    skipping stride, descending."""
+    c = num_train_timesteps // lcm_origin_steps
+    origin = np.arange(1, lcm_origin_steps + 1) * c - 1
+    skip = len(origin) // num_steps
+    return origin[::-skip][:num_steps]
+
+
 def lcm_sample_loop(
     sched: DiffusionSchedule,
     model_fn: Callable,
@@ -102,14 +129,16 @@ def lcm_sample_loop(
     num_steps: int = 4,
     lcm_origin_steps: int = 50,
     learned_range: bool = True,
+    prediction_type: str = "epsilon",
+    noise_seq: Optional[jnp.ndarray] = None,
 ):
-    """LCM multi-step: x0-consistency prediction + re-noising ladder
-    (lcm_scheduler.py set_timesteps/step)."""
+    """LCM multi-step (lcm_scheduler.py:288-412): consistency x0 prediction
+    under the boundary-condition scalings, then re-noising to the next
+    ladder step. Supports the reference's epsilon / sample / v_prediction
+    parameterizations; ``noise_seq`` (num_steps, *shape) overrides the
+    per-step normal draws (parity tests)."""
     n = sched.num_timesteps
-    c = n // lcm_origin_steps
-    ladder = np.asarray(
-        [min(n - 1, (i + 1) * c * lcm_origin_steps // num_steps - 1) for i in range(num_steps)]
-    )[::-1]
+    ladder = lcm_timesteps(n, num_steps, lcm_origin_steps)
     rng, init_rng = jax.random.split(rng)
     x = jax.random.normal(init_rng, shape)
     b = shape[0]
@@ -119,14 +148,29 @@ def lcm_sample_loop(
         out = model_fn(x, sched.timestep_map[t])
         if learned_range:
             out = out[..., : x.shape[-1]]
-        x0 = G.predict_xstart_from_eps(sched, x, t, out)
+        if prediction_type == "epsilon":
+            x0 = G.predict_xstart_from_eps(sched, x, t, out)
+        elif prediction_type == "sample":
+            x0 = out
+        elif prediction_type == "v_prediction":
+            abar = extract(sched.alphas_cumprod, t, x.ndim)
+            x0 = jnp.sqrt(abar) * x - jnp.sqrt(1.0 - abar) * out
+        else:
+            raise ValueError(prediction_type)
         c_skip, c_out = lcm_boundary_scalings(t.reshape((b,) + (1,) * (x.ndim - 1)))
-        denoised = c_skip * x + c_out * x0
-        if i < len(ladder) - 1:
-            rng, n_rng = jax.random.split(rng)
-            t_next = jnp.full((b,), int(ladder[i + 1]), dtype=jnp.int32)
-            noise = jax.random.normal(n_rng, shape)
-            x = G.q_sample(sched, denoised, t_next, noise)
+        denoised = c_out * x0 + c_skip * x
+        if num_steps > 1:
+            if noise_seq is not None:
+                noise = noise_seq[i]
+            else:
+                rng, n_rng = jax.random.split(rng)
+                noise = jax.random.normal(n_rng, shape)
+            # prev_timestep = next ladder entry (or t itself at the end)
+            idx_prev = int(ladder[i + 1]) if i + 1 < len(ladder) else int(idx)
+            t_prev = jnp.full((b,), idx_prev, dtype=jnp.int32)
+            x = G.q_sample(sched, denoised, t_prev, noise)
+            if i == len(ladder) - 1:
+                return denoised
         else:
             x = denoised
     return x

@@ -26,6 +26,12 @@ def main():
     p.add_argument("--image_size", type=int, default=512)
     p.add_argument("--sampling_algo", default="dpm-solver",
                    choices=["iddpm", "ddim", "dpm-solver", "sa-solver"])
+    p.add_argument("--solver_order", type=int, default=2,
+                   help="DPM-Solver order (1-3) / SA-Solver predictor order")
+    p.add_argument("--solver_method", default="multistep",
+                   choices=["multistep", "singlestep", "singlestep_fixed"])
+    p.add_argument("--sa_tau", type=float, default=1.0,
+                   help="SA-Solver stochasticity (0 = ODE limit)")
     p.add_argument("--step", type=int, default=20)
     p.add_argument("--cfg_scale", type=float, default=4.5)
     p.add_argument("--seed", type=int, default=0)
@@ -38,9 +44,9 @@ def main():
 
     from instarevive_tpu.config import load_config
     from instarevive_tpu.diffusion import gaussian as G
-    from instarevive_tpu.diffusion.dpm_solver import dpm_solver_pp_2m
+    from instarevive_tpu.diffusion.dpm_solver import dpm_solver_pp_2m, dpm_solver_sample
     from instarevive_tpu.diffusion.respace import respaced_schedule
-    from instarevive_tpu.diffusion.samplers import sa_solver_sample
+    from instarevive_tpu.diffusion.sa_solver import sa_solver_pc_sample
     from instarevive_tpu.pipelines.build import build_pipeline, init_params, load_params
     from instarevive_tpu.utils.image_io import save_image
 
@@ -104,9 +110,19 @@ def main():
         eps_only = lambda x, t: cfg_eps(x, t)[..., :4]  # noqa: E731
         x_init = jax.random.normal(rng, shape)
         if args.sampling_algo == "dpm-solver":
-            z = dpm_solver_pp_2m(eps_only, sched, x_init, steps=args.step)
+            if args.solver_order == 2 and args.solver_method == "multistep":
+                z = dpm_solver_pp_2m(eps_only, sched, x_init, steps=args.step)
+            else:
+                z = dpm_solver_sample(
+                    eps_only, sched, x_init, steps=args.step,
+                    order=args.solver_order, method=args.solver_method,
+                )
         else:
-            z = sa_solver_sample(eps_only, sched, x_init, steps=args.step)
+            rng, sk = jax.random.split(rng)
+            z = sa_solver_pc_sample(
+                eps_only, sched, x_init, rng=sk, tau=args.sa_tau,
+                steps=args.step, predictor_order=min(args.solver_order + 1, 3),
+            )
 
     imgs = np.asarray(pipe.decode(params, z))
     os.makedirs(args.output, exist_ok=True)

@@ -244,3 +244,54 @@ def test_ldm_task_variants():
         g = jax.grad(lambda p: getattr(task, fn_name)(p, frozen, batch, jax.random.key(1))[0])(params)
         leaves = jax.tree_util.tree_leaves(g)
         assert any(np.abs(np.asarray(leaf)).max() > 0 for leaf in leaves), fn_name
+
+
+def test_plms_matches_reference_ladder():
+    """Full-step PLMS vs the reference PLMSSampler (plms.py:118-), including
+    the staged order-1/2/3 warmup before 4th-order Adams-Bashforth."""
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    from ldm.models.diffusion.plms import PLMSSampler
+
+    n = 16
+    sched = make_schedule("linear", n)
+    acp = torch.tensor(np.asarray(sched.alphas_cumprod), dtype=torch.float64)
+
+    class StubModel:
+        num_timesteps = n
+        device = torch.device("cpu")
+        parameterization = "eps"
+        betas = torch.tensor(np.asarray(sched.betas), dtype=torch.float32)
+        alphas_cumprod = acp
+        alphas_cumprod_prev = torch.tensor(
+            np.asarray(sched.alphas_cumprod_prev), dtype=torch.float64
+        )
+        sqrt_one_minus_alphas_cumprod = torch.sqrt(1.0 - acp).float()
+        ddim_sigmas_for_original_num_steps = torch.zeros(n)  # eta=0
+
+        def apply_model(self, x, t, c):
+            return 0.3 * x + 0.01 * t.float().view(-1, 1, 1, 1)
+
+    class CPUSampler(PLMSSampler):
+        def register_buffer(self, name, attr):  # reference forces CUDA
+            setattr(self, name, attr)
+
+    ref = CPUSampler(StubModel())
+    ref.make_schedule(ddim_num_steps=4, verbose=False)
+    x0 = np.random.default_rng(0).standard_normal((1, 4, 8, 8)).astype(np.float32)
+    got_ref, _ = ref.plms_sampling(
+        cond=None, shape=x0.shape, x_T=torch.tensor(x0),
+        ddim_use_original_steps=True, timesteps=n, log_every_t=10**9,
+    )
+
+    def model_fn(x, t):
+        return 0.3 * x + 0.01 * t.astype(jnp.float32)[:, None, None, None]
+
+    got = plms_sample_loop(
+        sched, model_fn, x0.shape, jax.random.key(0),
+        noise=jnp.asarray(x0), learned_range=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), got_ref.numpy(), rtol=2e-4, atol=2e-4
+    )
