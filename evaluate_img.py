@@ -5,9 +5,10 @@ Paired metrics (PSNR(Y)/SSIM(Y)/LPIPS with --ref_folder) run on-device.
 No-reference NIQE is implemented natively (instarevive_tpu/utils/niqe.py):
 pass --niqe_params niqe_pris_params.npz (basicsr/pyiqa format) or
 --niqe_fit <pristine folder> to fit a model in place. The reference's
-remaining pyiqa no-ref metrics (MUSIQ/MANIQA/CLIPIQA) require pretrained
-DNNs unavailable in this zero-egress image — pass --lpips_ckpt/
---alexnet_ckpt to enable LPIPS from the torch lpips package checkpoints.
+remaining pyiqa no-ref metrics are implemented natively with weight
+importers: --musiq_params (npz, utils/musiq.py) and --maniqa_ckpt (official
+torch checkpoint, utils/maniqa.py) enable MUSIQ/MANIQA; --clipiqa_model a
+local CLIP dir; --lpips_ckpt/--alexnet_ckpt enable LPIPS.
 """
 
 from __future__ import annotations
@@ -30,6 +31,10 @@ def main():
                    help="niqe_pris_params.npz (basicsr/pyiqa format)")
     p.add_argument("--niqe_fit", default=None,
                    help="folder of pristine images to fit a NIQE model from")
+    p.add_argument("--musiq_params", default=None,
+                   help="MUSIQ weights npz (utils/musiq.py native format)")
+    p.add_argument("--maniqa_ckpt", default=None,
+                   help="official MANIQA torch checkpoint (incl. ViT-B/8 trunk)")
     p.add_argument("--clipiqa_model", default=None,
                    help="local HF CLIP dir (model+tokenizer) for the CLIP-IQA "
                         "no-reference metric")
@@ -70,19 +75,37 @@ def main():
             ]
             niqe_model = fit_pristine_model(pris)
 
+    musiq_fn = None
+    if args.musiq_params:
+        from instarevive_tpu.utils.musiq import MUSIQ, params_from_npz
+
+        musiq_fn = MUSIQ(params_from_npz(args.musiq_params))
+
+    maniqa_fn = None
+    if args.maniqa_ckpt:
+        from instarevive_tpu.train.checkpoint import load_torch_state_dict
+        from instarevive_tpu.utils.maniqa import MANIQA, params_from_torch
+
+        maniqa_fn = MANIQA(params_from_torch(load_torch_state_dict(args.maniqa_ckpt)))
+
     clipiqa_fn = None
     if args.clipiqa_model:
         from instarevive_tpu.utils.clipiqa import CLIPIQA
 
         clipiqa_fn = CLIPIQA(model_dir=args.clipiqa_model)
 
-    results = {"psnr": [], "ssim": [], "lpips": [], "niqe": [], "clipiqa": []}
+    results = {"psnr": [], "ssim": [], "lpips": [], "niqe": [], "clipiqa": [],
+               "musiq": [], "maniqa": []}
     for f in files:
         img = np.asarray(Image.open(f).convert("RGB"), np.float32)[None] / 255.0
         if niqe_model is not None:
             results["niqe"].append(niqe(img[0], niqe_model))
         if clipiqa_fn is not None:
             results["clipiqa"].append(float(clipiqa_fn(img)[0]))
+        if musiq_fn is not None:
+            results["musiq"].append(float(musiq_fn(img)[0]))
+        if maniqa_fn is not None:
+            results["maniqa"].append(float(maniqa_fn(img)[0]))
         if args.ref_folder:
             ref_path = os.path.join(args.ref_folder, os.path.basename(f))
             if not os.path.exists(ref_path):

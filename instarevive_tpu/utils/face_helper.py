@@ -113,10 +113,24 @@ def paste_face_back(
 class FaceRestoreHelper:
     """Host-orchestrated multi-face align/enhance/paste (detector pluggable)."""
 
-    def __init__(self, face_size: int = 512, feather: int = 20):
+    def __init__(self, face_size: int = 512, feather: int = 20, detector=None):
         self.face_size = face_size
         self.feather = feather
+        self.detector = detector  # e.g. utils.retinaface.RetinaFace(params)
         self.affines: List[np.ndarray] = []
+
+    def get_face_landmarks_5(self, img01, conf_thresh: float = 0.8):
+        """Detect faces and return 5-point landmarks (the reference's
+        facexlib get_face_landmarks_5, face_restoration_helper.py:79-92).
+        Requires a detector (utils/retinaface.RetinaFace with imported
+        weights) — landmarks can also be supplied externally to align_all."""
+        if self.detector is None:
+            raise RuntimeError(
+                "no detector attached: construct FaceRestoreHelper(detector="
+                "RetinaFace(params_from_torch(...))) or pass landmarks directly"
+            )
+        _, landmarks = self.detector(np.asarray(img01), conf_thresh=conf_thresh)
+        return [lm for lm in landmarks]
 
     def align_all(self, img: jnp.ndarray, all_landmarks: List[np.ndarray]):
         faces = []
