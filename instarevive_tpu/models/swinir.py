@@ -181,12 +181,24 @@ class SwinIR(nn.Module):
             ups = {4: ("conv_up1", "conv_up2"), 8: ("conv_up1", "conv_up2", "conv_up3")}.get(
                 self.sf, ("conv_up1",)
             )
+            from instarevive_tpu.ops.conv_fused import fused_upsample_enabled
+
             for name in ups:
-                feat = interpolate(feat, scale_factor=2, mode="nearest")
-                feat = nn.leaky_relu(
-                    nn.Conv(self.num_feat, (3, 3), padding="SAME", dtype=self.dtype, name=name)(feat),
-                    0.2,
-                )
+                if fused_upsample_enabled():
+                    # one lhs-dilated conv == nearest-2x + conv3x3 (exact;
+                    # identical param tree) — skips the 4x intermediate
+                    from instarevive_tpu.models.vae import FusedUpsampleConv
+
+                    feat = nn.leaky_relu(
+                        FusedUpsampleConv(self.num_feat, self.dtype, name=name)(feat),
+                        0.2,
+                    )
+                else:
+                    feat = interpolate(feat, scale_factor=2, mode="nearest")
+                    feat = nn.leaky_relu(
+                        nn.Conv(self.num_feat, (3, 3), padding="SAME", dtype=self.dtype, name=name)(feat),
+                        0.2,
+                    )
             feat = nn.leaky_relu(
                 nn.Conv(self.num_feat, (3, 3), padding="SAME", dtype=self.dtype, name="conv_hr")(feat),
                 0.2,

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from instarevive_tpu.ops.attention import attention
+from instarevive_tpu.ops.conv_fused import fused_upsample_enabled, upsample2x_conv3x3
 from instarevive_tpu.ops.resize import interpolate
 
 
@@ -63,6 +64,26 @@ class AttnBlock(nn.Module):
         out = attention(q, k, v, scale=c**-0.5).reshape(b, h, w, c)
         out = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(out)
         return x + out
+
+
+class FusedUpsampleConv(nn.Module):
+    """nearest-2x upsample + 3x3 SAME conv as one lhs-dilated conv
+    (ops/conv_fused.py); param names match nn.Conv so checkpoints are
+    interchangeable with the unfused path."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, x.shape[-1], self.features),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return upsample2x_conv3x3(
+            x.astype(self.dtype), k.astype(self.dtype), b.astype(self.dtype)
+        )
 
 
 class Encoder(nn.Module):
@@ -113,11 +134,19 @@ class Decoder(nn.Module):
             for j in range(self.num_res_blocks + 1):
                 h = ResnetBlock(self.ch * self.ch_mult[i], self.dtype, name=f"up_{i}_block_{j}")(h)
             if i != 0:
-                h = interpolate(h, scale_factor=2, mode="nearest")
-                h = nn.Conv(
-                    h.shape[-1], (3, 3), padding="SAME", dtype=self.dtype,
-                    name=f"up_{i}_upsample",
-                )(h)
+                if fused_upsample_enabled():
+                    # one lhs-dilated conv instead of materializing the 4x
+                    # intermediate (ops/conv_fused.py; exact equivalence,
+                    # identical param tree to the nn.Conv path)
+                    h = FusedUpsampleConv(
+                        h.shape[-1], self.dtype, name=f"up_{i}_upsample"
+                    )(h)
+                else:
+                    h = interpolate(h, scale_factor=2, mode="nearest")
+                    h = nn.Conv(
+                        h.shape[-1], (3, 3), padding="SAME", dtype=self.dtype,
+                        name=f"up_{i}_upsample",
+                    )(h)
         h = _gn("norm_out", self.dtype)(h)
         h = nn.silu(h)
         return nn.Conv(self.out_ch, (3, 3), padding="SAME", dtype=self.dtype, name="conv_out")(h)

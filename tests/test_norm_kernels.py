@@ -65,3 +65,40 @@ def test_odd_channels_fall_back():
     gn = nn.GroupNorm(num_groups=32, epsilon=1e-6)
     ref = nn.silu(gn.apply({"params": {"scale": gamma, "bias": beta}}, x))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_fused_upsample_conv_exact():
+    """ops/conv_fused.upsample2x_conv3x3 == nearest-2x + conv3x3 SAME,
+    exactly (the lhs-dilated rewrite that skips the 4x intermediate)."""
+    import jax
+    import jax.numpy as jnp
+
+    from instarevive_tpu.ops.conv_fused import upsample2x_conv3x3
+    from instarevive_tpu.ops.resize import interpolate
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 7, 9, 8)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 8, 16)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal(16).astype(np.float32))
+    ref = jax.lax.conv_general_dilated(
+        interpolate(x, scale_factor=2, mode="nearest"), w, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+    got = upsample2x_conv3x3(x, w, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+def test_fused_upsample_vae_toggle_param_compat(monkeypatch):
+    """IR_FUSED_UPSAMPLE=1 uses the SAME param tree and produces identical
+    decoder outputs (checkpoints interchangeable)."""
+    import jax
+    import jax.numpy as jnp
+
+    from instarevive_tpu.models.vae import AutoencoderKL
+
+    vae = AutoencoderKL(ch=32, ch_mult=(1, 2), num_res_blocks=1)
+    p = vae.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)))
+    x = jnp.asarray(np.random.default_rng(0).random((1, 16, 16, 3)), jnp.float32)
+    base = vae.apply(p, x)[0]
+    monkeypatch.setenv("IR_FUSED_UPSAMPLE", "1")
+    fused = vae.apply(p, x)[0]
+    np.testing.assert_allclose(np.asarray(base), np.asarray(fused), atol=1e-5)
