@@ -144,7 +144,15 @@ class RestorationPipeline:
         color_fix: str = "wavelet",
         use_control: bool = False,
     ):
-        """Non-tiled restoration of a x64-sized [0,1] NHWC batch."""
+        """Non-tiled restoration of a x64-sized [0,1] NHWC batch.
+
+        Intentional deviation (documented, PARITY.md): the reference's
+        non-tiled branch never applies color correction — its ``--color_fix
+        _type`` only takes effect inside the tiled loop (test_scripts/
+        inference.py:112-117 vs :146-149). Here the fix applies in both
+        paths so tiled and non-tiled outputs agree; pass
+        ``--color_fix_type none`` for bit-faithful reference behavior.
+        """
         stage1 = self.clean(params, lq) if use_swinir else lq
         z_init = self.encode(params, stage1)
         c = z_init if use_control else None

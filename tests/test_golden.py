@@ -1,9 +1,10 @@
 """Golden-output regression: tiny-config pipeline outputs must stay stable.
 
-Guards against silent numerics drift across refactors/rounds. The fixture
-self-bootstraps: first run writes tests/golden/*.npz; later runs compare.
-Regenerate intentionally by deleting the file (and eyeball the diff in the
-PR). CPU-only (conftest pins JAX_PLATFORMS=cpu) so values are deterministic.
+Guards against silent numerics drift across refactors/rounds. The golden
+npz files are committed and REQUIRED-present: a missing file fails the test
+(a fresh clone must not silently re-baseline). Regenerate intentionally
+with IR_GOLDEN_BOOTSTRAP=1 after deleting the file, and eyeball the diff.
+CPU-only (conftest pins JAX_PLATFORMS=cpu) so values are deterministic.
 """
 
 import os
@@ -21,6 +22,15 @@ def _check_or_bootstrap(name: str, arrays: dict, atol: float = 2e-4):
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     path = os.path.join(GOLDEN_DIR, f"{name}.npz")
     if not os.path.exists(path):
+        # The three golden files are COMMITTED; a missing one on a normal
+        # run means the clone lost them — fail, don't silently re-bootstrap
+        # to whatever the current code produces. Set IR_GOLDEN_BOOTSTRAP=1
+        # to regenerate intentionally (then eyeball + commit the diff).
+        if os.environ.get("IR_GOLDEN_BOOTSTRAP") != "1":
+            pytest.fail(
+                f"golden file missing: {path} (committed file lost?). "
+                "Regenerate intentionally with IR_GOLDEN_BOOTSTRAP=1."
+            )
         np.savez_compressed(path, **{k: np.asarray(v) for k, v in arrays.items()})
         pytest.skip(f"golden bootstrap: wrote {path}")
     ref = np.load(path)

@@ -1,0 +1,260 @@
+#!/usr/bin/env python
+"""Training-validation artifact (VERDICT r1 item 8): demonstrate that the
+DMD distillation and Reflow objectives actually train, with loss curves and
+an EMA-generator eval on a held-out synthetic set, written to TRAINVAL.md.
+
+Fully self-contained (zero egress): the 'dataset' is a procedural image
+distribution (smooth random fields + oriented gradients, structured enough
+to be learnable), diffusion runs directly in 32x32x3 image space so
+PSNR/SSIM are directly meaningful, and the DMD teacher is *itself trained
+here* (stage A) before being distilled (stage B) — mirroring the reference
+recipe where a pretrained PixArt teacher distills into the one-step
+generator (scripts/run_pixart_dmd.py).
+
+Usage:  python tools/train_validation.py --out TRAINVAL.md
+  (runs on whatever backend is active; ~2k steps per stage)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def synth_batch(key, b, size=32):
+    """Procedural 'HQ' images in [-1, 1]: mixture of low-frequency fields."""
+    import jax
+    import jax.numpy as jnp
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    # low-frequency random field: upsampled 4x4 noise
+    base = jax.random.normal(k1, (b, 4, 4, 3))
+    img = jax.image.resize(base, (b, size, size, 3), "bicubic")
+    # oriented gradient
+    theta = jax.random.uniform(k2, (b, 1, 1, 1)) * jnp.pi
+    yy, xx = jnp.meshgrid(jnp.linspace(-1, 1, size), jnp.linspace(-1, 1, size), indexing="ij")
+    ramp = (jnp.cos(theta) * xx + jnp.sin(theta) * yy)[..., None]
+    amp = jax.random.uniform(k3, (b, 1, 1, 1), minval=0.2, maxval=0.8)
+    img = img * 0.5 + amp * ramp
+    return jnp.tanh(img)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="TRAINVAL.md")
+    ap.add_argument("--teacher_steps", type=int, default=2000)
+    ap.add_argument("--dmd_steps", type=int, default=2000)
+    ap.add_argument("--reflow_steps", type=int, default=2000)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--log_every", type=int, default=100)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    plat = jax.default_backend()
+    cache = os.path.join(repo, ".jax_cache" if plat != "cpu" else ".jax_cache_cpu")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    from instarevive_tpu.diffusion import gaussian as G
+    from instarevive_tpu.diffusion.dpm_solver import dpm_solver_pp_2m
+    from instarevive_tpu.diffusion.one_step import eps_to_x0
+    from instarevive_tpu.diffusion.schedules import make_schedule
+    from instarevive_tpu.models.pixart import PixArt
+    from instarevive_tpu.train.distill import (
+        make_dmd_train_step,
+        reflow_loss,
+        reflow_sample_1step,
+    )
+    from instarevive_tpu.train.optim import build_optimizer, constant_with_warmup
+    from instarevive_tpu.train.state import TrainState
+    from instarevive_tpu.utils.metrics import psnr, ssim
+
+    size, b = 32, args.batch
+    sched = make_schedule("linear", 1000)
+    dit = PixArt(input_size=size, patch_size=4, in_channels=3, hidden_size=128,
+                 depth=4, num_heads=4, caption_channels=16, model_max_length=4,
+                 mlp_ratio=2.0)
+    y = jnp.zeros((b, 4, 16))
+
+    def eps_fn(p, x, t, **cond):
+        out = dit.apply({"params": p}, x, t.astype(jnp.float32), cond.get("y", y[: x.shape[0]]))
+        return out[..., :3]
+
+    init = dit.init(jax.random.key(0), jnp.zeros((1, size, size, 3)),
+                    jnp.zeros((1,)), y[:1])["params"]
+    lines = [
+        "# Training validation (synthetic, self-contained)",
+        "",
+        f"backend: **{plat}**, image space 32x32x3, DiT(128h/4L/4heads), "
+        f"batch {b}; procedural HQ distribution (low-freq fields + ramps).",
+        "",
+    ]
+
+    # ---------------- stage A: teacher eps-model (DDPM loss) ---------------
+    tx = build_optimizer("adamw", constant_with_warmup(2e-4, 100), grad_clip_norm=1.0)
+    tstate = TrainState.create(init, tx, ema=True, ema_rate=0.999)
+
+    @jax.jit
+    def teacher_step(state, key):
+        kd, kt, kn = jax.random.split(key, 3)
+        x0 = synth_batch(kd, b, size)
+        t = jax.random.randint(kt, (b,), 0, sched.num_timesteps)
+        noise = jax.random.normal(kn, x0.shape)
+        x_t = G.q_sample(sched, x0, t, noise)
+
+        def loss(p):
+            return jnp.mean((eps_fn(p, x_t, t) - noise) ** 2)
+
+        l, g = jax.value_and_grad(loss)(state.params)
+        return state.apply_gradients(g), l
+
+    key = jax.random.key(1)
+    curve_a = []
+    t0 = time.time()
+    for i in range(args.teacher_steps):
+        key, sk = jax.random.split(key)
+        tstate, l = teacher_step(tstate, sk)
+        if i % args.log_every == 0 or i == args.teacher_steps - 1:
+            curve_a.append((i, float(l)))
+    teacher = jax.tree_util.tree_map(jnp.copy, tstate.ema_params)
+    lines += ["## Stage A — teacher eps-model (DDPM loss)", "",
+              "| step | eps MSE |", "|---|---|"]
+    lines += [f"| {i} | {v:.4f} |" for i, v in curve_a[:: max(len(curve_a) // 10, 1)]]
+    first_a, last_a = curve_a[0][1], curve_a[-1][1]
+    lines += ["", f"loss {first_a:.4f} -> {last_a:.4f} "
+              f"({args.teacher_steps} steps, {time.time() - t0:.0f}s)", ""]
+    assert last_a < first_a * 0.7, "teacher did not train"
+
+    # teacher sample quality reference: 20-step DPM-Solver++ samples
+    def teacher_eps(x, t):
+        return eps_fn(teacher, x, t)
+
+    @jax.jit
+    def sample_teacher(noise):
+        return dpm_solver_pp_2m(teacher_eps, sched, noise, steps=20)
+
+    # ---------------- stage B: DMD distillation into a 1-step generator ----
+    # paired data: (noise, teacher 20-step sample) quadruples, the synthetic
+    # stand-in for the DMD dataset (diffusion/data/datasets/dmd.py)
+    key, kp = jax.random.split(key)
+    pair_noise = jax.random.normal(kp, (8, b, size, size, 3))
+    pair_latent = jnp.stack([sample_teacher(pair_noise[i]) for i in range(8)])
+
+    gen_tx = build_optimizer("adamw", constant_with_warmup(1e-4, 100), grad_clip_norm=10.0)
+    gen_state = TrainState.create(jax.tree_util.tree_map(jnp.copy, teacher), gen_tx,
+                                  ema=True, ema_rate=0.999)
+    fake_state = TrainState.create(jax.tree_util.tree_map(jnp.copy, teacher), gen_tx,
+                                   ema=False)
+    dmd_step = jax.jit(make_dmd_train_step(sched, eps_fn, teacher_eps, eps_fn,
+                                           TrainState, maxt=400))
+
+    curve_b = []
+    t0 = time.time()
+    for i in range(args.dmd_steps):
+        key, sk = jax.random.split(key)
+        j = i % pair_noise.shape[0]
+        batch = {"noise": pair_noise[j], "latent": pair_latent[j]}
+        gen_state, fake_state, m = dmd_step(gen_state, fake_state, batch, sk, {"y": y})
+        if i % args.log_every == 0 or i == args.dmd_steps - 1:
+            curve_b.append((i, float(m["regression"]), float(m["dm"]),
+                            float(m["fake_score"])))
+
+    # eval: held-out noise -> 1-step generation, vs the teacher's 20-step
+    key, kh = jax.random.split(key)
+    held_noise = jax.random.normal(kh, (b, size, size, 3))
+    held_target = sample_teacher(held_noise)
+    t400 = jnp.full((b,), 400, jnp.int32)
+
+    @jax.jit
+    def onestep(p, noise):
+        return eps_to_x0(sched, eps_fn(p, noise, t400), noise, t400)
+
+    def quality(p):
+        gen01 = jnp.clip((onestep(p, held_noise) + 1) / 2, 0, 1)
+        tgt01 = jnp.clip((held_target + 1) / 2, 0, 1)
+        return (float(psnr(gen01, tgt01).mean()), float(ssim(gen01, tgt01).mean()))
+
+    psnr_init, ssim_init = quality(teacher)  # generator init == teacher
+    psnr_ema, ssim_ema = quality(gen_state.ema_params)
+    lines += ["## Stage B — DMD distillation (regression 0.25 + DM + fake score)",
+              "", "| step | regression | dm | fake_score |", "|---|---|---|---|"]
+    lines += [f"| {i} | {r:.4f} | {d:.4f} | {f:.4f} |"
+              for i, r, d, f in curve_b[:: max(len(curve_b) // 10, 1)]]
+    lines += ["", f"({args.dmd_steps} steps, {time.time() - t0:.0f}s)", "",
+              "1-step generation vs teacher 20-step DPM-Solver++ on held-out noise:",
+              "", "| generator | PSNR | SSIM |", "|---|---|---|",
+              f"| init (= teacher weights, 1-step) | {psnr_init:.2f} | {ssim_init:.4f} |",
+              f"| EMA after DMD | {psnr_ema:.2f} | {ssim_ema:.4f} |", ""]
+    assert psnr_ema > psnr_init, "DMD EMA generator did not beat its init"
+
+    # ---------------- stage C: Reflow velocity matching --------------------
+    rstate = TrainState.create(jax.tree_util.tree_map(jnp.copy, init), tx,
+                               ema=True, ema_rate=0.999)
+
+    def v_fn(p, x, t, **cond):
+        return eps_fn(p, x, t, **cond)  # reuse the 3-channel head as v
+
+    @jax.jit
+    def reflow_step(state, key):
+        kd, kl = jax.random.split(key)
+        z0 = synth_batch(kd, b, size)
+
+        def loss(p):
+            return reflow_loss(sched, v_fn, p, z0, kl, {"y": y})
+
+        (l, metrics), g = jax.value_and_grad(loss, has_aux=True)(state.params)
+        return state.apply_gradients(g), metrics["reflow_mse"]
+
+    curve_c = []
+    t0 = time.time()
+    for i in range(args.reflow_steps):
+        key, sk = jax.random.split(key)
+        rstate, l = reflow_step(rstate, sk)
+        if i % args.log_every == 0 or i == args.reflow_steps - 1:
+            curve_c.append((i, float(l)))
+
+    # eval: 1-step Euler samples should land near the data manifold; compare
+    # mean/std statistics + PSNR of EMA vs init against fresh data draws
+    key, ke, kd2 = jax.random.split(key, 3)
+    zT = jax.random.normal(ke, (b, size, size, 3))
+
+    @jax.jit
+    def reflow_gen(p):
+        return reflow_sample_1step(sched, v_fn, p, zT, {"y": y})
+
+    data = synth_batch(kd2, b, size)
+
+    def stat_dist(x):
+        return float(jnp.abs(x.mean() - data.mean()) + jnp.abs(x.std() - data.std()))
+
+    d_init, d_ema = stat_dist(reflow_gen(init)), stat_dist(reflow_gen(rstate.ema_params))
+    lines += ["## Stage C — Reflow velocity matching (cldm.py:685-750 math)",
+              "", "| step | reflow MSE |", "|---|---|"]
+    lines += [f"| {i} | {v:.4f} |" for i, v in curve_c[:: max(len(curve_c) // 10, 1)]]
+    first_c, last_c = curve_c[0][1], curve_c[-1][1]
+    lines += ["", f"loss {first_c:.4f} -> {last_c:.4f} "
+              f"({args.reflow_steps} steps, {time.time() - t0:.0f}s)", "",
+              "1-step Euler generation, distribution moments vs data "
+              "(|d mean| + |d std|, lower is better):", "",
+              f"- init: {d_init:.4f}", f"- EMA after reflow: {d_ema:.4f}", ""]
+    assert last_c < first_c * 0.9, "reflow did not train"
+    assert d_ema < d_init, "reflow EMA generator did not beat its init"
+
+    with open(os.path.join(repo, args.out), "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {args.out}")
+    print(f"DMD EMA vs init PSNR: {psnr_ema:.2f} vs {psnr_init:.2f}")
+    print(f"reflow moment dist EMA vs init: {d_ema:.4f} vs {d_init:.4f}")
+
+
+if __name__ == "__main__":
+    main()
