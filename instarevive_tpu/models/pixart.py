@@ -340,6 +340,12 @@ class PixArt(nn.Module):
             t_emb = t_emb + jnp.concatenate([csize, ar], axis=-1)
         t6 = nn.Dense(6 * self.hidden_size, dtype=self.dtype, name="t_block")(nn.silu(t_emb))
         t6 = t6.reshape(b, 6, self.hidden_size)
+        # pin the adaLN conditioning's sharding: left ambiguous, XLA chose a
+        # resharding in the FSDP backward ('involuntary full
+        # rematerialization' in the round-1 dryrun); no-op without a mesh
+        from instarevive_tpu.parallel.mesh import constrain_batch
+
+        t6 = constrain_batch(t6)
 
         y_tokens = CaptionEmbedder(
             self.hidden_size,

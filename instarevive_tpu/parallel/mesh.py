@@ -89,3 +89,32 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def constrain_batch(x):
+    """with_sharding_constraint over the ('data','fsdp') batch axis when a
+    matching mesh is ambient; no-op otherwise (single-device tests / CLI).
+
+    Used on small per-step activations whose sharding XLA otherwise leaves
+    ambiguous — e.g. the PixArt adaLN t_block output, where an unconstrained
+    layout triggered 'involuntary full rematerialization' resharding in the
+    FSDP backward (round-1 dryrun warnings)."""
+    import jax
+
+    try:
+        from jax.sharding import PartitionSpec, get_abstract_mesh
+
+        m = get_abstract_mesh()
+        if m is None or not m.axis_names:
+            return x
+        axes = tuple(a for a in ("data", "fsdp") if a in m.axis_names)
+        if not axes:
+            return x
+        total = 1
+        for a in axes:
+            total *= dict(m.shape)[a]
+        if total <= 1 or x.shape[0] % total:
+            return x
+        return jax.lax.with_sharding_constraint(x, PartitionSpec(axes))
+    except Exception:
+        return x
