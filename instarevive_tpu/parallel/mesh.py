@@ -118,3 +118,30 @@ def constrain_batch(x):
         return jax.lax.with_sharding_constraint(x, PartitionSpec(axes))
     except Exception:
         return x
+
+
+def commit_states(states, mesh: Mesh):
+    """Canonicalize a train-state tuple before entering the jitted loop.
+
+    Three different entry paths produce three different jit signatures for
+    the SAME logical state — fresh creation (some leaves weak-typed /
+    uncommitted), the step function's own outputs (committed, strong), and
+    checkpoint restore (host numpy) — which cost a full recompile each
+    ("step-2 retrace"). This pins every leaf to the same contract the step
+    outputs satisfy: strong dtypes, FSDP placement for tensors, replicated
+    scalars.
+    """
+    import jax.numpy as jnp
+
+    def fix(leaf):
+        if isinstance(leaf, (int, float, np.ndarray, np.generic)) or (
+            hasattr(leaf, "dtype") and not isinstance(leaf, jax.Array)
+        ):
+            leaf = jnp.asarray(leaf)
+        if not isinstance(leaf, jax.Array):
+            return leaf
+        if getattr(leaf, "weak_type", False):
+            leaf = leaf.astype(leaf.dtype)  # strong-type
+        return jax.device_put(leaf, param_sharding_rules(leaf, mesh))
+
+    return jax.tree_util.tree_map(fix, states)

@@ -376,6 +376,14 @@ def main():
                 if args.task == "dmd" and pair_prefetch is not None:
                     pair_prefetch.fast_forward(step_i)
             logger.info(f"resumed full train state from {args.resume} at step {step_i}")
+        # one canonical step signature for fresh, resumed (host numpy) and
+        # looped states: strong dtypes, FSDP tensors, replicated scalars —
+        # otherwise each entry path pays its own multi-minute recompile
+        from instarevive_tpu.parallel.mesh import commit_states
+
+        states = tuple(
+            commit_states(s, mesh) if hasattr(s, "opt_state") else s for s in states
+        )
         logger.info("train state ready; entering loop")
         while step_i < args.steps:
             for batch in loader:
