@@ -189,29 +189,169 @@ def edm_sample_loop(
     sigma_min: float = 0.002,
     sigma_max: float = 80.0,
     rho: float = 7.0,
+    S_churn: float = 0.0,
+    S_min: float = 0.0,
+    S_max: float = float("inf"),
+    S_noise: float = 1.0,
 ):
-    """Karras EDM deterministic Heun sampler (edm_sample.py:11-)."""
-    steps = jnp.arange(num_steps, dtype=jnp.float32)
-    t_steps = (
-        sigma_max ** (1 / rho)
-        + steps / (num_steps - 1) * (sigma_min ** (1 / rho) - sigma_max ** (1 / rho))
-    ) ** rho
-    t_steps = jnp.append(t_steps, 0.0)
+    """Karras EDM Heun sampler with optional stochastic churn
+    (edm_sample.py:12-48, Algorithm 2): when S_churn > 0 and the current
+    sigma lies in [S_min, S_max], noise is temporarily increased by
+    gamma = min(S_churn/num_steps, sqrt(2)-1) before the Heun step."""
+    ts = np.asarray(
+        (sigma_max ** (1 / rho)
+         + np.arange(num_steps) / (num_steps - 1)
+         * (sigma_min ** (1 / rho) - sigma_max ** (1 / rho))) ** rho
+    )
+    ts = np.append(ts, 0.0)
 
-    x = jax.random.normal(rng, shape) * t_steps[0]
+    rng, init_rng = jax.random.split(rng)
+    x = jax.random.normal(init_rng, shape) * ts[0]
 
-    def heun(i, x):
-        t_cur, t_next = t_steps[i], t_steps[i + 1]
-        d = (x - denoise_fn(x, t_cur)) / t_cur
-        x_next = x + (t_next - t_cur) * d
-        d2 = jnp.where(
-            t_next > 0,
-            (x_next - denoise_fn(x_next, jnp.maximum(t_next, sigma_min))) / jnp.maximum(t_next, sigma_min),
-            d,
+    for i in range(num_steps):
+        t_cur, t_next = float(ts[i]), float(ts[i + 1])
+        gamma = (
+            min(S_churn / num_steps, np.sqrt(2.0) - 1.0)
+            if (S_churn > 0 and S_min <= t_cur <= S_max)
+            else 0.0
         )
-        return x + (t_next - t_cur) * 0.5 * (d + jnp.where(t_next > 0, d2, d))
+        t_hat = t_cur + gamma * t_cur
+        if gamma > 0:
+            rng, nk = jax.random.split(rng)
+            x = x + np.sqrt(t_hat**2 - t_cur**2) * S_noise * jax.random.normal(nk, shape)
+        d = (x - denoise_fn(x, jnp.float32(t_hat))) / t_hat
+        x_next = x + (t_next - t_hat) * d
+        if i < num_steps - 1:  # 2nd-order correction except at the last step
+            d2 = (x_next - denoise_fn(x_next, jnp.float32(t_next))) / t_next
+            x_next = x + (t_next - t_hat) * 0.5 * (d + d2)
+        x = x_next
+    return x
 
-    return jax.lax.fori_loop(0, num_steps, heun, x)
+
+def edm_ablation_sample(
+    denoise_fn: Callable,  # (x_scaled, sigma) -> x0 prediction
+    shape,
+    rng: jax.Array,
+    num_steps: int = 18,
+    sigma_min: Optional[float] = None,
+    sigma_max: Optional[float] = None,
+    rho: float = 7.0,
+    solver: str = "heun",
+    discretization: str = "edm",
+    schedule: str = "linear",
+    scaling: str = "none",
+    epsilon_s: float = 1e-3,
+    C_1: float = 0.001,
+    C_2: float = 0.008,
+    M: int = 1000,
+    alpha: float = 1.0,
+    S_churn: float = 0.0,
+    S_min: float = 0.0,
+    S_max: float = float("inf"),
+    S_noise: float = 1.0,
+    net_sigma_min: float = 0.0,
+    net_sigma_max: float = float("inf"),
+):
+    """Generalized EDM ablation sampler (edm_sample.py:55-171): the superset
+    of VP/VE/iDDPM/EDM discretizations, vp/ve/linear sigma(t) schedules,
+    vp/none scalings, euler/heun solvers, and stochastic churn. All schedule
+    quantities evaluate host-side in float64 at trace time."""
+    assert solver in ("euler", "heun")
+    assert discretization in ("vp", "ve", "iddpm", "edm")
+    assert schedule in ("vp", "ve", "linear")
+    assert scaling in ("vp", "none")
+
+    vp_sigma = lambda bd, bm: lambda t: np.sqrt(np.exp(0.5 * bd * t**2 + bm * t) - 1.0)  # noqa: E731
+    vp_sigma_inv = lambda bd, bm: lambda sg: (  # noqa: E731
+        np.sqrt(bm**2 + 2 * bd * np.log(sg**2 + 1)) - bm
+    ) / bd
+
+    if sigma_min is None:
+        sigma_min = {"vp": float(vp_sigma(19.1, 0.1)(epsilon_s)), "ve": 0.02,
+                     "iddpm": 0.002, "edm": 0.002}[discretization]
+    if sigma_max is None:
+        sigma_max = {"vp": float(vp_sigma(19.1, 0.1)(1.0)), "ve": 100.0,
+                     "iddpm": 81.0, "edm": 80.0}[discretization]
+    # clamp to the network's supported range (edm_sample.py:84-85)
+    sigma_min = max(sigma_min, net_sigma_min)
+    sigma_max = min(sigma_max, net_sigma_max)
+
+    vp_beta_d = 2 * (np.log(sigma_min**2 + 1) / epsilon_s - np.log(sigma_max**2 + 1)) / (epsilon_s - 1)
+    vp_beta_min = np.log(sigma_max**2 + 1) - 0.5 * vp_beta_d
+
+    idx = np.arange(num_steps, dtype=np.float64)
+    if discretization == "vp":
+        orig = 1 + idx / (num_steps - 1) * (epsilon_s - 1)
+        sigma_steps = vp_sigma(vp_beta_d, vp_beta_min)(orig)
+    elif discretization == "ve":
+        orig = (sigma_max**2) * ((sigma_min**2 / sigma_max**2) ** (idx / (num_steps - 1)))
+        sigma_steps = np.sqrt(orig)
+    elif discretization == "iddpm":
+        u = np.zeros(M + 1)
+        abar = lambda j: np.sin(0.5 * np.pi * j / M / (C_2 + 1)) ** 2  # noqa: E731
+        for j in range(M, 0, -1):
+            u[j - 1] = np.sqrt((u[j] ** 2 + 1) / max(abar(j - 1) / abar(j), C_1) - 1)
+        uf = u[(u >= sigma_min) & (u <= sigma_max)]
+        sigma_steps = uf[np.round((len(uf) - 1) / (num_steps - 1) * idx).astype(int)]
+    else:
+        sigma_steps = (sigma_max ** (1 / rho) + idx / (num_steps - 1)
+                       * (sigma_min ** (1 / rho) - sigma_max ** (1 / rho))) ** rho
+
+    if schedule == "vp":
+        sigma_f = vp_sigma(vp_beta_d, vp_beta_min)
+        sigma_deriv = lambda t: 0.5 * (vp_beta_min + vp_beta_d * t) * (sigma_f(t) + 1.0 / sigma_f(t))  # noqa: E731
+        sigma_inv = vp_sigma_inv(vp_beta_d, vp_beta_min)
+    elif schedule == "ve":
+        sigma_f = lambda t: np.sqrt(t)  # noqa: E731
+        sigma_deriv = lambda t: 0.5 / np.sqrt(t)  # noqa: E731
+        sigma_inv = lambda sg: sg**2  # noqa: E731
+    else:
+        sigma_f = lambda t: t  # noqa: E731
+        sigma_deriv = lambda t: 1.0  # noqa: E731
+        sigma_inv = lambda sg: sg  # noqa: E731
+
+    if scaling == "vp":
+        s_f = lambda t: 1.0 / np.sqrt(1.0 + sigma_f(t) ** 2)  # noqa: E731
+        s_deriv = lambda t: -sigma_f(t) * sigma_deriv(t) * (s_f(t) ** 3)  # noqa: E731
+    else:
+        s_f = lambda t: 1.0  # noqa: E731
+        s_deriv = lambda t: 0.0  # noqa: E731
+
+    t_steps = np.append(sigma_inv(sigma_steps), 0.0)
+
+    rng, init_rng = jax.random.split(rng)
+    t0 = float(t_steps[0])
+    x = jax.random.normal(init_rng, shape) * (sigma_f(t0) * s_f(t0))
+    for i in range(num_steps):
+        t_cur, t_next = float(t_steps[i]), float(t_steps[i + 1])
+        sc = sigma_f(t_cur)
+        gamma = (
+            min(S_churn / num_steps, np.sqrt(2.0) - 1.0)
+            if (S_churn > 0 and S_min <= sc <= S_max)
+            else 0.0
+        )
+        t_hat = float(sigma_inv(sc + gamma * sc))
+        sh, ssh = float(sigma_f(t_hat)), float(s_f(t_hat))
+        x_hat = (ssh / s_f(t_cur)) * x
+        if gamma > 0:
+            rng, nk = jax.random.split(rng)
+            x_hat = x_hat + np.sqrt(max(sh**2 - sc**2, 0.0)) * ssh * S_noise \
+                * jax.random.normal(nk, shape)
+        h = t_next - t_hat
+        den = denoise_fn(x_hat / ssh, jnp.float32(sh))
+        d_cur = (sigma_deriv(t_hat) / sh + s_deriv(t_hat) / ssh) * x_hat \
+            - sigma_deriv(t_hat) * ssh / sh * den
+        if solver == "euler" or i == num_steps - 1:
+            x = x_hat + h * d_cur
+        else:
+            t_p = t_hat + alpha * h
+            x_p = x_hat + alpha * h * d_cur
+            sp, ssp = float(sigma_f(t_p)), float(s_f(t_p))
+            den2 = denoise_fn(x_p / ssp, jnp.float32(sp))
+            d_p = (sigma_deriv(t_p) / sp + s_deriv(t_p) / ssp) * x_p \
+                - sigma_deriv(t_p) * ssp / sp * den2
+            x = x_hat + h * ((1 - 1 / (2 * alpha)) * d_cur + (1 / (2 * alpha)) * d_p)
+    return x
 
 
 # ---------------------------------------------------------------------------

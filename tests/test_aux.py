@@ -295,3 +295,166 @@ def test_plms_matches_reference_ladder():
     np.testing.assert_allclose(
         np.asarray(got), got_ref.numpy(), rtol=2e-4, atol=2e-4
     )
+
+
+def _load_reference_edm():
+    import sys
+    import types
+
+    # edm_sample.py does `from diffusion.model.utils import *` (which pulls
+    # torch etc.); satisfy it with a stub module exposing torch
+    mod = types.ModuleType("diffusion.model.utils")
+    mod.torch = torch
+    for pkg in ("diffusion", "diffusion.model"):
+        if pkg not in sys.modules:
+            sys.modules[pkg] = types.ModuleType(pkg)
+    sys.modules["diffusion.model.utils"] = mod
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_edm", "/root/reference/diffusion/model/edm_sample.py")
+    m = importlib.util.module_from_spec(spec)
+    import builtins
+
+    m.__dict__["torch"] = torch
+    spec.loader.exec_module(m)
+    return m
+
+
+@pytest.mark.parametrize("churn", [0.0, 10.0])
+def test_edm_sampler_matches_reference(churn):
+    """EDM Heun incl. stochastic churn (edm_sample.py:12-48) under matched
+    noise draws."""
+    from instarevive_tpu.diffusion.samplers import edm_sample_loop
+
+    edm = _load_reference_edm()
+    torch.manual_seed(0)
+    w = torch.randn(3, 3) * 0.1
+
+    class Net:
+        sigma_min = 0.002
+        sigma_max = 80.0
+
+        @staticmethod
+        def round_sigma(s):
+            return torch.as_tensor(s)
+
+        def __call__(self, x, sigma, *a, **k):
+            return {"x": torch.einsum("bchw,cd->bdhw", x, w) * 0.5 + 0.1 * x}
+
+    lat = torch.randn(1, 3, 8, 8)
+    noises = [torch.randn_like(lat) for _ in range(64)]
+    idx = {"i": 0}
+
+    def fake_randn_like(t):
+        n = noises[idx["i"]]
+        idx["i"] += 1
+        return n
+
+    steps = 8
+    want = edm.edm_sampler(
+        Net(), lat.double(), num_steps=steps, randn_like=fake_randn_like,
+        S_churn=churn, S_noise=1.0,
+    ).float().numpy()
+
+    wj = jnp.asarray(w.numpy())
+
+    def denoise(x, sigma):
+        return jnp.einsum("bhwc,cd->bhwd", x, wj) * 0.5 + 0.1 * x
+
+    # drive the jax loop with the same init latent + churn noises
+    calls = {"i": 0}
+    orig = jax.random.normal
+
+    def fake_normal(key, shape, dtype=None):
+        if calls["i"] == 0:
+            out = jnp.asarray(lat.numpy().transpose(0, 2, 3, 1))
+        else:
+            out = jnp.asarray(noises[calls["i"] - 1].numpy().transpose(0, 2, 3, 1))
+        calls["i"] += 1
+        return out
+
+    jax.random.normal = fake_normal
+    try:
+        got = edm_sample_loop(
+            denoise, (1, 8, 8, 3), jax.random.key(0), num_steps=steps,
+            S_churn=churn, S_noise=1.0,
+        )
+    finally:
+        jax.random.normal = orig
+    np.testing.assert_allclose(
+        np.asarray(got), want.transpose(0, 2, 3, 1), atol=2e-4, rtol=1e-3
+    )
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        dict(discretization="vp", schedule="vp", scaling="vp", solver="euler"),
+        dict(discretization="ve", schedule="ve", scaling="none", solver="heun"),
+        dict(discretization="iddpm", schedule="linear", scaling="none", solver="heun"),
+        dict(discretization="edm", schedule="linear", scaling="none", solver="heun",
+             S_churn=5.0),
+    ],
+)
+def test_edm_ablation_matches_reference(cfg):
+    """Generalized ablation sampler (edm_sample.py:55-171): vp/ve/iddpm/edm
+    discretizations, schedules, scalings, euler/heun, churn."""
+    from instarevive_tpu.diffusion.samplers import edm_ablation_sample
+
+    edm = _load_reference_edm()
+    torch.manual_seed(1)
+    w = torch.randn(3, 3) * 0.1
+
+    class Net:
+        sigma_min = 0.002
+        sigma_max = 80.0
+
+        @staticmethod
+        def round_sigma(s):
+            return torch.as_tensor(s)
+
+        def __call__(self, x, sigma, *a, **k):
+            return {"x": torch.einsum("bchw,cd->bdhw", x, w) * 0.5 + 0.1 * x}
+
+    lat = torch.randn(1, 3, 8, 8)
+    noises = [torch.randn_like(lat) for _ in range(64)]
+    idx = {"i": 0}
+
+    def fake_randn_like(t):
+        n = noises[idx["i"]]
+        idx["i"] += 1
+        return n
+
+    steps = 6
+    want = edm.ablation_sampler(
+        Net(), lat.double(), num_steps=steps, randn_like=fake_randn_like, **cfg,
+    ).float().numpy()
+
+    wj = jnp.asarray(w.numpy())
+
+    def denoise(x, sigma):
+        return jnp.einsum("bhwc,cd->bhwd", x, wj) * 0.5 + 0.1 * x
+
+    calls = {"i": 0}
+    orig = jax.random.normal
+
+    def fake_normal(key, shape, dtype=None):
+        if calls["i"] == 0:
+            out = jnp.asarray(lat.numpy().transpose(0, 2, 3, 1))
+        else:
+            out = jnp.asarray(noises[calls["i"] - 1].numpy().transpose(0, 2, 3, 1))
+        calls["i"] += 1
+        return out
+
+    jax.random.normal = fake_normal
+    try:
+        got = edm_ablation_sample(
+            denoise, (1, 8, 8, 3), jax.random.key(0), num_steps=steps,
+            net_sigma_min=0.002, net_sigma_max=80.0, **cfg,
+        )
+    finally:
+        jax.random.normal = orig
+    np.testing.assert_allclose(
+        np.asarray(got), want.transpose(0, 2, 3, 1), atol=5e-4, rtol=2e-3
+    )
