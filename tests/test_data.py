@@ -94,3 +94,32 @@ def test_aspect_ratio_sampler_homogeneous_batches():
             keys = np.asarray(sorted(s.table.keys()))
             closest = keys[np.argmin(np.abs(keys - ratios[i]))]
             assert float(closest) == ratio
+
+
+def test_prefetch_loader_fast_forward_determinism():
+    """fast_forward(n) replays shuffles so the stream continues exactly as
+    if n batches had been consumed (checkpoint-resume data alignment)."""
+    from instarevive_tpu.data.dataset import PrefetchLoader
+
+    class Idx:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return {"x": np.full((2, 2), i, np.uint8)}
+
+    def stream(loader, n):
+        out = []
+        while len(out) < n:
+            for b in loader:
+                out.append(sorted(int(v) for v in b["x"][:, 0, 0]))
+                if len(out) >= n:
+                    break
+        return out
+
+    full = stream(PrefetchLoader(Idx(), 3, num_threads=2, seed=5), 7)
+
+    resumed_loader = PrefetchLoader(Idx(), 3, num_threads=2, seed=5)
+    resumed_loader.fast_forward(4)  # 1 epoch (3 batches) + 1 batch
+    resumed = stream(resumed_loader, 3)
+    assert resumed == full[4:7], (resumed, full)
