@@ -35,9 +35,9 @@ def synth_batch(key, b, size=32):
     base = jax.random.normal(k1, (b, 4, 4, 3))
     img = jax.image.resize(base, (b, size, size, 3), "bicubic")
     # oriented gradient
-    theta = jax.random.uniform(k2, (b, 1, 1, 1)) * jnp.pi
+    theta = jax.random.uniform(k2, (b, 1, 1)) * jnp.pi
     yy, xx = jnp.meshgrid(jnp.linspace(-1, 1, size), jnp.linspace(-1, 1, size), indexing="ij")
-    ramp = (jnp.cos(theta) * xx + jnp.sin(theta) * yy)[..., None]
+    ramp = (jnp.cos(theta) * xx + jnp.sin(theta) * yy)[..., None]  # (b,H,W,1)
     amp = jax.random.uniform(k3, (b, 1, 1, 1), minval=0.2, maxval=0.8)
     img = img * 0.5 + amp * ramp
     return jnp.tanh(img)
@@ -103,7 +103,6 @@ def main():
     tx = build_optimizer("adamw", constant_with_warmup(2e-4, 100), grad_clip_norm=1.0)
     tstate = TrainState.create(init, tx, ema=True, ema_rate=0.999)
 
-    @jax.jit
     def teacher_step(state, key):
         kd, kt, kn = jax.random.split(key, 3)
         x0 = synth_batch(kd, b, size)
@@ -117,14 +116,23 @@ def main():
         l, g = jax.value_and_grad(loss)(state.params)
         return state.apply_gradients(g), l
 
+    # chunk steps through lax.scan: one dispatch per log window (CPU python
+    # dispatch would otherwise dominate at these tiny model sizes)
+    chunk = args.log_every
+
+    @jax.jit
+    def teacher_chunk(state, keys):
+        return jax.lax.scan(teacher_step, state, keys)
+
     key = jax.random.key(1)
     curve_a = []
     t0 = time.time()
-    for i in range(args.teacher_steps):
+    for c in range(max(args.teacher_steps // chunk, 1)):
         key, sk = jax.random.split(key)
-        tstate, l = teacher_step(tstate, sk)
-        if i % args.log_every == 0 or i == args.teacher_steps - 1:
-            curve_a.append((i, float(l)))
+        tstate, ls = teacher_chunk(tstate, jax.random.split(sk, chunk))
+        i = (c + 1) * chunk - 1
+        curve_a.append((i, float(ls[-1])))
+        print(f"[A] {i} eps_mse={float(ls[-1]):.4f}", flush=True)
     teacher = jax.tree_util.tree_map(jnp.copy, tstate.ema_params)
     lines += ["## Stage A — teacher eps-model (DDPM loss)", "",
               "| step | eps MSE |", "|---|---|"]
@@ -135,8 +143,8 @@ def main():
     assert last_a < first_a * 0.7, "teacher did not train"
 
     # teacher sample quality reference: 20-step DPM-Solver++ samples
-    def teacher_eps(x, t):
-        return eps_fn(teacher, x, t)
+    def teacher_eps(x, t, **cond):
+        return eps_fn(teacher, x, t, **cond)
 
     @jax.jit
     def sample_teacher(noise):
@@ -154,19 +162,31 @@ def main():
                                   ema=True, ema_rate=0.999)
     fake_state = TrainState.create(jax.tree_util.tree_map(jnp.copy, teacher), gen_tx,
                                    ema=False)
-    dmd_step = jax.jit(make_dmd_train_step(sched, eps_fn, teacher_eps, eps_fn,
-                                           TrainState, maxt=400))
+    dmd_step = make_dmd_train_step(sched, eps_fn, teacher_eps, eps_fn,
+                                   TrainState, maxt=400)
+
+    @jax.jit
+    def dmd_chunk(gen_state, fake_state, keys, js):
+        def body(carry, kj):
+            g, f = carry
+            k, j = kj
+            batch = {"noise": pair_noise[j], "latent": pair_latent[j]}
+            g, f, m = dmd_step(g, f, batch, k, {"y": y})
+            return (g, f), (m["regression"], m["dm"], m["fake_score"])
+        (g, f), ms = jax.lax.scan(body, (gen_state, fake_state), (keys, js))
+        return g, f, ms
 
     curve_b = []
     t0 = time.time()
-    for i in range(args.dmd_steps):
+    n_pairs = pair_noise.shape[0]
+    for c in range(max(args.dmd_steps // chunk, 1)):
         key, sk = jax.random.split(key)
-        j = i % pair_noise.shape[0]
-        batch = {"noise": pair_noise[j], "latent": pair_latent[j]}
-        gen_state, fake_state, m = dmd_step(gen_state, fake_state, batch, sk, {"y": y})
-        if i % args.log_every == 0 or i == args.dmd_steps - 1:
-            curve_b.append((i, float(m["regression"]), float(m["dm"]),
-                            float(m["fake_score"])))
+        js = (jnp.arange(chunk) + c * chunk) % n_pairs
+        gen_state, fake_state, ms = dmd_chunk(
+            gen_state, fake_state, jax.random.split(sk, chunk), js)
+        i = (c + 1) * chunk - 1
+        curve_b.append((i, float(ms[0][-1]), float(ms[1][-1]), float(ms[2][-1])))
+        print(f"[B] {i} reg={float(ms[0][-1]):.4f}", flush=True)
 
     # eval: held-out noise -> 1-step generation, vs the teacher's 20-step
     key, kh = jax.random.split(key)
@@ -203,7 +223,6 @@ def main():
     def v_fn(p, x, t, **cond):
         return eps_fn(p, x, t, **cond)  # reuse the 3-channel head as v
 
-    @jax.jit
     def reflow_step(state, key):
         kd, kl = jax.random.split(key)
         z0 = synth_batch(kd, b, size)
@@ -214,13 +233,18 @@ def main():
         (l, metrics), g = jax.value_and_grad(loss, has_aux=True)(state.params)
         return state.apply_gradients(g), metrics["reflow_mse"]
 
+    @jax.jit
+    def reflow_chunk(state, keys):
+        return jax.lax.scan(reflow_step, state, keys)
+
     curve_c = []
     t0 = time.time()
-    for i in range(args.reflow_steps):
+    for c in range(max(args.reflow_steps // chunk, 1)):
         key, sk = jax.random.split(key)
-        rstate, l = reflow_step(rstate, sk)
-        if i % args.log_every == 0 or i == args.reflow_steps - 1:
-            curve_c.append((i, float(l)))
+        rstate, ls = reflow_chunk(rstate, jax.random.split(sk, chunk))
+        i = (c + 1) * chunk - 1
+        curve_c.append((i, float(ls[-1])))
+        print(f"[C] {i} reflow_mse={float(ls[-1]):.4f}", flush=True)
 
     # eval: 1-step Euler samples should land near the data manifold; compare
     # mean/std statistics + PSNR of EMA vs init against fresh data draws

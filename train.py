@@ -172,9 +172,6 @@ def main():
 
             teacher = jax.tree_util.tree_map(jnp.copy, params["dit"])
 
-            def teacher_fn(z, t, **cond):
-                return gen_fn(teacher, z, t, **cond)
-
             # Teacher CFG (reference trains with --cfg 3 on the real score,
             # scripts/run_pixart_dmd.py:95): uncond branch = cached null-prompt
             # T5 embedding. Without --null_embed we fall back to zeros, which
@@ -190,7 +187,6 @@ def main():
                     logger.warning(
                         "cfg_scale=%.1f with no --null_embed: using a zero "
                         "uncond embedding", args.cfg_scale)
-            real_fn = make_cfg_real_fn(teacher_fn, y_null, args.cfg_scale)
 
             gen_state = TrainState.create(
                 shard_params(params["dit"], mesh), tx, ema=True, ema_rate=args.ema_rate
@@ -204,12 +200,21 @@ def main():
                 shard_params(jax.tree_util.tree_map(jnp.copy, params["dit"]), mesh),
                 fake_tx, ema=False,
             )
-            dmd_step = jax.jit(
-                make_dmd_train_step(
+            # teacher params enter the jitted step as an ARGUMENT: closing
+            # over them would bake the whole 0.6B tree into the lowered
+            # program as constants (GB-scale compile payloads)
+            def _dmd_step_fn(gen_state, fake_state, dmd_batch, k, cond, teacher_p):
+                def teacher_fn(z, t, **c):
+                    return gen_fn(teacher_p, z, t, **c)
+
+                real_fn = make_cfg_real_fn(teacher_fn, y_null, args.cfg_scale)
+                step = make_dmd_train_step(
                     sched, gen_fn, real_fn, gen_fn, TrainState, maxt=args.maxt,
                     regression_weight=args.regression_weight,
                 )
-            )
+                return step(gen_state, fake_state, dmd_batch, k, cond)
+
+            dmd_step = jax.jit(_dmd_step_fn)
             enc_jit = jax.jit(lambda p, img01: pipe.encode(p, img01))
 
             pair_loader = None
@@ -255,7 +260,7 @@ def main():
                     noise = jax.random.normal(k1, latent.shape)
                     dmd_batch = {"noise": noise, "latent": latent}
                 gen_state, fake_state, m = dmd_step(
-                    gen_state, fake_state, dmd_batch, k2, {"y": y_step}
+                    gen_state, fake_state, dmd_batch, k2, {"y": y_step}, teacher
                 )
                 return (gen_state, fake_state), m
 
@@ -336,18 +341,19 @@ def main():
                 )
 
             @jax.jit
-            def step(state, ts_state, batch, key):
+            def step(state, ts_state, batch, key, frozen_p):
+                # frozen vae/swinir params as arguments, not lowered constants
                 t_key, l_key = jax.random.split(key)
                 if use_lsm:  # trace-time constant
                     t, w = loss_second_moment_sample(
                         t_key, ts_state, batch["hq"].shape[0])
 
                     def lf(p):
-                        return loss_fn(p, frozen, batch, l_key,
+                        return loss_fn(p, frozen_p, batch, l_key,
                                        t=t, loss_weights=w)
                 else:
                     def lf(p):
-                        return loss_fn(p, frozen, batch, l_key)
+                        return loss_fn(p, frozen_p, batch, l_key)
 
                 (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(state.params)
                 if use_lsm:
@@ -358,7 +364,7 @@ def main():
             def run_step(state_tuple, batch, key):
                 state, ts_state = state_tuple
                 cldm_batch = {"hq": batch["hq"], "lq": batch["lq"], "context": ctx}
-                state, ts_state, m = step(state, ts_state, cldm_batch, key)
+                state, ts_state, m = step(state, ts_state, cldm_batch, key, frozen)
                 return (state, ts_state), m
 
             states = (state, ts0)
