@@ -13,8 +13,9 @@ filter; the box filter folds into the conv kernel). The fused form never
 materializes the 4x-sized intermediate: XLA lowers lhs-dilated convs with
 its transposed-convolution path.
 
-Opt-in via IR_FUSED_UPSAMPLE=1 until TPU-benched (the kernel transform is
-exact; only the performance needs validation), mirroring IR_FUSED_KERNELS.
+DEFAULT ON (v5e-measured: batch-4 512^2 end-to-end 5.21 -> 5.83 MP/s,
++12%); disable with IR_FUSED_UPSAMPLE=0. The transform is exact (parity
+tests) and parameter-compatible with the unfused checkpoints.
 
 Derivation (per axis, cross-correlation convention):
   u[p] = x[floor(p/2)]          (nearest upsample)
@@ -35,7 +36,7 @@ __all__ = ["upsample2x_conv3x3", "fused_upsample_enabled"]
 
 
 def fused_upsample_enabled() -> bool:
-    return os.environ.get("IR_FUSED_UPSAMPLE", "0") == "1"
+    return os.environ.get("IR_FUSED_UPSAMPLE", "1") == "1"
 
 
 def _box_fold_kernel(w: jnp.ndarray) -> jnp.ndarray:
