@@ -51,6 +51,16 @@ def tile_grid(h: int, w: int, tile: int, stride: int) -> np.ndarray:
     return np.stack(np.meshgrid(hs, ws, indexing="ij"), axis=-1).reshape(-1, 2)
 
 
+def _batched_conv_stages() -> bool:
+    """IR_BATCHED_CONV_STAGES=1 runs clean/encode/decode batched instead of
+    the per-sample lax.map workaround (round-1 N>1 conv-layout storm);
+    toggle for re-benching after layout-relevant changes (read at trace
+    time)."""
+    import os
+
+    return os.environ.get("IR_BATCHED_CONV_STAGES", "0") == "1"
+
+
 @dataclass
 class RestorationPipeline:
     """Bundles the three models + schedule and exposes jitted process fns."""
@@ -79,7 +89,7 @@ class RestorationPipeline:
         def _clean(x):
             return jnp.clip(self.swinir.apply({"params": params["swinir"]}, x), 0.0, 1.0)
 
-        if img.shape[0] == 1:
+        if img.shape[0] == 1 or _batched_conv_stages():
             return _clean(img)
         return jax.lax.map(lambda xi: _clean(xi[None])[0], img)
 
@@ -95,7 +105,7 @@ class RestorationPipeline:
             )
             return z * VAE_SCALE
 
-        if img01.shape[0] == 1:
+        if img01.shape[0] == 1 or _batched_conv_stages():
             return _enc(img01)
         return jax.lax.map(lambda xi: _enc(xi[None])[0], img01)
 
@@ -113,7 +123,7 @@ class RestorationPipeline:
             )
             return jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
 
-        if z.shape[0] == 1:
+        if z.shape[0] == 1 or _batched_conv_stages():
             return _dec(z)
         return jax.lax.map(lambda zi: _dec(zi[None])[0], z)
 
