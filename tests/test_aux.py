@@ -302,22 +302,34 @@ def _load_reference_edm():
     import types
 
     # edm_sample.py does `from diffusion.model.utils import *` (which pulls
-    # torch etc.); satisfy it with a stub module exposing torch
+    # torch etc.); satisfy it with a stub module exposing torch. The stubs
+    # are REMOVED afterwards — leaving an empty 'diffusion' package in
+    # sys.modules breaks later oracle imports of the real reference tree.
+    added = []
     mod = types.ModuleType("diffusion.model.utils")
     mod.torch = torch
     for pkg in ("diffusion", "diffusion.model"):
         if pkg not in sys.modules:
             sys.modules[pkg] = types.ModuleType(pkg)
+            added.append(pkg)
+    had_utils = "diffusion.model.utils" in sys.modules
+    old_utils = sys.modules.get("diffusion.model.utils")
     sys.modules["diffusion.model.utils"] = mod
     import importlib.util
 
-    spec = importlib.util.spec_from_file_location(
-        "ref_edm", "/root/reference/diffusion/model/edm_sample.py")
-    m = importlib.util.module_from_spec(spec)
-    import builtins
-
-    m.__dict__["torch"] = torch
-    spec.loader.exec_module(m)
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_edm", "/root/reference/diffusion/model/edm_sample.py")
+        m = importlib.util.module_from_spec(spec)
+        m.__dict__["torch"] = torch
+        spec.loader.exec_module(m)
+    finally:
+        for pkg in added:
+            sys.modules.pop(pkg, None)
+        if had_utils:
+            sys.modules["diffusion.model.utils"] = old_utils
+        else:
+            sys.modules.pop("diffusion.model.utils", None)
     return m
 
 
