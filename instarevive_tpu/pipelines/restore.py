@@ -207,7 +207,18 @@ class RestorationPipeline:
 
         offsets_np = tile_grid(lh, lw, lt, ls)  # (n, 2) latent offsets
         n_tiles = len(offsets_np)
-        tb = max(1, min(tile_batch, n_tiles))
+        # adaptive chunk size <= tile_batch: minimize padded tile-forwards
+        # weighted by the measured small-batch penalty (b1 ~13% slower per
+        # image than b4) — e.g. 9 tiles pick 3x3 chunks (zero padding)
+        # instead of 4+4+4 with 3 dead tiles.
+        tb_max = max(1, min(tile_batch, n_tiles))
+        small_penalty = {1: 1.13, 2: 1.05}
+
+        def _cost(t):
+            padded = -(-n_tiles // t) * t
+            return padded * small_penalty.get(t, 1.0)
+
+        tb = min(range(1, tb_max + 1), key=lambda t: (_cost(t), -t))
         # pad the offset list so every chunk is full; padded tiles recompute
         # an existing tile but their weight is masked to zero.
         pad = (-n_tiles) % tb
