@@ -337,10 +337,13 @@ def test_sa_solver_matches_reference(cfg):
 
 
 def _load_reference_lcm():
-    """Import reference lcm_scheduler.py with diffusers mixins stubbed."""
+    """Import reference lcm_scheduler.py with diffusers mixins stubbed.
+    The stubs are removed afterwards — an incomplete 'diffusers' left in
+    sys.modules breaks later oracle imports (test_unet ImportError)."""
     import sys
     import types
 
+    added_diffusers = "diffusers" not in sys.modules
     if "diffusers" not in sys.modules:
         d = types.ModuleType("diffusers")
 
@@ -385,7 +388,15 @@ def _load_reference_lcm():
         sys.modules["diffusers.utils"] = du
     from tests.oracles import _load_as
 
-    return _load_as("refdiff", "lcm_scheduler", "/root/reference/diffusion/lcm_scheduler.py")
+    try:
+        return _load_as(
+            "refdiff", "lcm_scheduler", "/root/reference/diffusion/lcm_scheduler.py"
+        )
+    finally:
+        if added_diffusers:
+            for name in ("diffusers", "diffusers.configuration_utils",
+                         "diffusers.utils"):
+                sys.modules.pop(name, None)
 
 
 @pytest.mark.parametrize("num_steps,prediction_type", [(4, "epsilon"), (1, "epsilon"), (8, "v_prediction")])
