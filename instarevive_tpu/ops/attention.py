@@ -255,6 +255,14 @@ def _flash_vjp_bwd(scale, has_mask, block_q, block_k, res, g):
     qf, kf, vf, maskf, o, lse = res
     bh, nq, d = qf.shape
     nk = kf.shape[1]
+    # the backward holds more live blocks (q, k, v, do, lse, di + two
+    # scratches) than the forward; the forward's big block_k (2048 at the
+    # DiT hot shape) blows the 16MB scoped-VMEM limit here, so cap the
+    # backward blocks to divisors of the (already padded) sizes
+    if block_q > 512 and block_q % 512 == 0:
+        block_q = 512
+    if block_k > 1024 and block_k % 1024 == 0:
+        block_k = 1024
     do = g.astype(qf.dtype)
     # di = rowsum(dO * O), lane-replicated to match the lse layout
     di = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
