@@ -195,6 +195,8 @@ def group_norm_silu(
         and (interpret or _on_tpu())
     )
     if not usable:
+        if _onepass_gn_enabled() and c % max(groups, 1) == 0:
+            return _gn_silu_onepass(x, gamma, beta, groups, eps, silu)
         return _gn_silu_ref(x, gamma, beta, groups, eps, silu)
     return _gn_silu_pallas(x, gamma, beta, groups, eps, silu,
                            interpret=bool(interpret))
@@ -207,3 +209,32 @@ def upsample2x_nearest(x: jnp.ndarray, interpret: Optional[bool] = None) -> jnp.
     if not usable:
         return _upsample2x_ref(x)
     return _upsample2x_pallas(x, interpret=bool(interpret))
+
+
+def _gn_silu_onepass(x, gamma, beta, groups, eps, silu):
+    """GroupNorm with sum and sum-of-squares computed in ONE variadic
+    lax.reduce pass (XLA otherwise emits two separate multiply_reduce
+    fusions over x — the measured ~6 ms of the 512^2 decode's stat cost).
+    Same cancellation behavior as flax GroupNorm (var = E[x^2] - E[x]^2).
+    Opt-in via IR_ONEPASS_GN=1."""
+    n, h, w, c = x.shape
+    cg = c // groups
+    xf = x.astype(jnp.float32).reshape(n, h * w, groups, cg)
+    zero = jnp.float32(0)
+
+    def comp(a, b):
+        return a[0] + b[0], a[1] + b[1]
+
+    s, ss = jax.lax.reduce((xf, xf * xf), (zero, zero), comp, (1, 3))  # (n, g)
+    cnt = h * w * cg
+    mean = (s / cnt)[:, None, :, None]
+    var = (ss / cnt)[:, None, :, None] - mean * mean
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y.reshape(n, h, w, c) * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    if silu:
+        y = y * jax.nn.sigmoid(y)
+    return y.astype(x.dtype)
+
+
+def _onepass_gn_enabled() -> bool:
+    return os.environ.get("IR_ONEPASS_GN", "0") == "1"

@@ -102,3 +102,20 @@ def test_fused_upsample_vae_toggle_param_compat(monkeypatch):
     monkeypatch.setenv("IR_FUSED_UPSAMPLE", "1")
     fused = vae.apply(p, x)[0]
     np.testing.assert_allclose(np.asarray(base), np.asarray(fused), atol=1e-5)
+
+
+def test_onepass_gn_matches_ref():
+    """The single-pass variadic-reduce GN variant matches the two-pass
+    reference numerics (kept for documentation: it measured 1.9x SLOWER
+    end-to-end on v5e — XLA's variadic lax.reduce lowers poorly — so
+    nothing wires it in by default)."""
+    import jax.numpy as jnp
+
+    from instarevive_tpu.ops.norm_kernels import _gn_silu_onepass, _gn_silu_ref
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 8, 8, 64)).astype(np.float32) + 0.5)
+    g = jnp.asarray(np.random.default_rng(1).standard_normal(64).astype(np.float32))
+    b = jnp.asarray(np.random.default_rng(2).standard_normal(64).astype(np.float32))
+    a = _gn_silu_ref(x, g, b, 32, 1e-6, True)
+    c = _gn_silu_onepass(x, g, b, 32, 1e-6, True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-5)
