@@ -433,6 +433,11 @@ def dpm_solver_sample(
         raise ValueError(f"unknown method {method}")
 
     if denoise_to_zero:
+        # reference denoise_to_zero_fn routes through data_prediction_fn,
+        # which applies the dynamic-thresholding x0 corrector
+        # (dpm_solver.py:418-438,1275-1281) — ADVICE r2.
         t = t_0
         x = (x - ns.std(t) * raw_eps(x, t)) / ns.alpha(t)
+        if dynamic_thresholding:
+            x = _dynamic_threshold(x, thresholding_ratio, thresholding_max_val)
     return x

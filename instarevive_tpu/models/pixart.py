@@ -244,7 +244,12 @@ class PixArtBlock(nn.Module):
             lambda key, shape: jax.random.normal(key, shape) / self.dim**0.5,
             (6, self.dim),
         )
-        mods = table[None] + t6  # (B, 6, D)
+        from instarevive_tpu.parallel.mesh import replicate_grad
+
+        # replicate_grad: the batch-reduced table cotangent otherwise carries
+        # a degenerate size-1-dim batch sharding into the param-grad reshape
+        # (SPMD 'involuntary full rematerialization', round-2 dryrun).
+        mods = replicate_grad(table[None]) + t6  # (B, 6, D)
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = [
             mods[:, i][:, None] for i in range(6)
         ]
@@ -338,14 +343,25 @@ class PixArt(nn.Module):
             csize = SizeEmbedder(d3, dtype=self.dtype, name="csize_embedder")(hw_in)
             ar = SizeEmbedder(self.hidden_size - 2 * d3, dtype=self.dtype, name="ar_embedder")(ar_in)
             t_emb = t_emb + jnp.concatenate([csize, ar], axis=-1)
-        t6 = nn.Dense(6 * self.hidden_size, dtype=self.dtype, name="t_block")(nn.silu(t_emb))
-        t6 = t6.reshape(b, 6, self.hidden_size)
         # pin the adaLN conditioning's sharding: left ambiguous, XLA chose a
         # resharding in the FSDP backward ('involuntary full
-        # rematerialization' in the round-1 dryrun); no-op without a mesh
-        from instarevive_tpu.parallel.mesh import constrain_batch
+        # rematerialization' in the round-1 dryrun); no-op without a mesh.
+        # The flat (B, 6D) activation is constrained too so the *transposed*
+        # reshape in the backward keeps batch sharding — otherwise the t_block
+        # bias-grad sharding propagates up through the reshape and SPMD falls
+        # back to full rematerialization (round-2 dryrun warnings).
+        from instarevive_tpu.parallel.mesh import constrain_batch, replicate_grad
 
-        t6 = constrain_batch(t6)
+        # replicate_grad between the Dense and the reshape: the summed
+        # per-block t6 cotangent is batch-sharded while the t_block bias-grad
+        # reduce wants it fsdp-sharded, and SPMD cannot reshard across the
+        # transposed reshape (it falls back to full rematerialization — an
+        # implicit all-gather). Constraining the cotangent replicated at this
+        # point is the same all-gather, made explicit and warning-free.
+        t6 = replicate_grad(
+            nn.Dense(6 * self.hidden_size, dtype=self.dtype, name="t_block")(nn.silu(t_emb))
+        )
+        t6 = constrain_batch(t6.reshape(b, 6, self.hidden_size))
 
         y_tokens = CaptionEmbedder(
             self.hidden_size,
@@ -414,7 +430,9 @@ class PixArt(nn.Module):
             lambda key, shape: jax.random.normal(key, shape) / self.hidden_size**0.5,
             (2, self.hidden_size),
         )
-        mods = final_table[None] + t_emb[:, None]
+        from instarevive_tpu.parallel.mesh import replicate_grad
+
+        mods = replicate_grad(final_table[None]) + t_emb[:, None]
         shift, scale = mods[:, 0][:, None], mods[:, 1][:, None]
         out = nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False, dtype=self.dtype, name="norm_final")(
             tokens

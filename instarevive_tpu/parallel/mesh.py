@@ -99,25 +99,73 @@ def constrain_batch(x):
     ambiguous — e.g. the PixArt adaLN t_block output, where an unconstrained
     layout triggered 'involuntary full rematerialization' resharding in the
     FSDP backward (round-1 dryrun warnings)."""
-    import jax
+    from jax.sharding import PartitionSpec
 
-    try:
-        from jax.sharding import PartitionSpec, get_abstract_mesh
-
-        m = get_abstract_mesh()
-        if m is None or not m.axis_names:
-            return x
-        axes = tuple(a for a in ("data", "fsdp") if a in m.axis_names)
-        if not axes:
-            return x
-        total = 1
-        for a in axes:
-            total *= dict(m.shape)[a]
-        if total <= 1 or x.shape[0] % total:
-            return x
-        return jax.lax.with_sharding_constraint(x, PartitionSpec(axes))
-    except Exception:
+    m = _ambient_mesh()
+    if m is None:
         return x
+    axes = tuple(a for a in ("data", "fsdp") if a in m.axis_names)
+    if not axes:
+        return x
+    total = 1
+    for a in axes:
+        total *= dict(m.shape)[a]
+    if total <= 1 or x.shape[0] % total:
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(m, PartitionSpec(axes))
+    )
+
+
+def _ambient_mesh() -> Optional[Mesh]:
+    """The mesh made ambient by ``with mesh:``, or None.
+
+    NOTE: ``jax.sharding.get_abstract_mesh()`` does NOT see a plain
+    ``with mesh:`` context (it tracks ``jax.set_mesh``-style abstract
+    meshes only — verified empty on jax 0.9.0, which made the round-1/2
+    constrain_batch a silent no-op, exactly the failure mode ADVICE r2
+    warned about). The ``with mesh:`` context registers on
+    ``thread_resources.env.physical_mesh``; probe errors are narrowed to
+    Import/AttributeError so a real regression stays visible."""
+    try:
+        from jax._src.mesh import thread_resources
+
+        m = thread_resources.env.physical_mesh
+    except (ImportError, AttributeError):
+        return None
+    if m is None or m.empty or not m.axis_names:
+        return None
+    return m
+
+
+@jax.custom_vjp
+def replicate_grad(x):
+    """Identity forward; backward constrains the cotangent to *replicated*
+    over the ambient mesh.
+
+    Use on small broadcast params (e.g. PixArt per-block scale_shift_table,
+    reference ``PixArt_blocks.py`` adaLN tables) whose batch-reduced
+    cotangent otherwise inherits a degenerate batch sharding (a size-1 dim
+    sharded over all devices), which makes SPMD emit 'involuntary full
+    rematerialization' resharding in the FSDP backward (round-2 dryrun
+    warnings on ``transpose(jvp(PixArt))`` f32[1,6*D] reshapes)."""
+    return x
+
+
+def _replicate_grad_fwd(x):
+    return x, None
+
+
+def _replicate_grad_bwd(_, g):
+    m = _ambient_mesh()
+    if m is not None:
+        from jax.sharding import PartitionSpec
+
+        g = jax.lax.with_sharding_constraint(g, NamedSharding(m, PartitionSpec()))
+    return (g,)
+
+
+replicate_grad.defvjp(_replicate_grad_fwd, _replicate_grad_bwd)
 
 
 def commit_states(states, mesh: Mesh):

@@ -80,14 +80,19 @@ class RestorationPipeline:
     # ---- model stage helpers (pure; params passed explicitly) -------------
 
     def clean(self, params, img):
-        """Stage-1 SwinIR degradation removal; [0,1] NHWC in/out.
+        """Stage-1 SwinIR degradation removal; [0,1]-ish NHWC in/out.
+
+        NOT clamped: the reference encodes / color-fixes against the raw
+        SwinIR output (test_scripts/inference.py:97-109 — only the final
+        composite is clamped), so clamping here would be glue drift
+        (caught by tests/test_e2e_process.py).
 
         Batch > 1 runs per-sample (lax.map) like decode: the N>1 conv
         layouts degrade 3.5x per image at 512² (data movement jumps to
         48% of device time — tools/trace_ops.py swinir b4 vs b1)."""
 
         def _clean(x):
-            return jnp.clip(self.swinir.apply({"params": params["swinir"]}, x), 0.0, 1.0)
+            return self.swinir.apply({"params": params["swinir"]}, x)
 
         if img.shape[0] == 1 or _batched_conv_stages():
             return _clean(img)
@@ -110,7 +115,13 @@ class RestorationPipeline:
         return jax.lax.map(lambda xi: _enc(xi[None])[0], img01)
 
     def decode(self, params, z):
-        """Scaled latent -> [0,1] image, inference.py:117.
+        """Scaled latent -> [0,1]-ish image, inference.py:117.
+
+        NOT clamped: the reference clamps only the final composite — the
+        tiled pixel overlap-average and the color fix both consume the raw
+        decode (inference.py:141-159), so clamping per tile is glue drift
+        (caught by tests/test_e2e_process.py). Callers clamp their final
+        output.
 
         Batch > 1 runs as a lax.map over single samples: XLA picks
         pathological layouts for the N>1 decoder convs (4.6x slower per
@@ -121,7 +132,7 @@ class RestorationPipeline:
             img = self.vae.apply(
                 {"params": params["vae"]}, zi / VAE_SCALE, method=self.vae.decode
             )
-            return jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
+            return img / 2.0 + 0.5
 
         if z.shape[0] == 1 or _batched_conv_stages():
             return _dec(z)

@@ -54,18 +54,51 @@ def save_train_state(path: str, states, key, step_i: int) -> None:
     save_checkpoint(path, jax.device_get(tree))
 
 
+def _checkpoint_top_keys(path: str):
+    """Top-level key names of an orbax checkpoint (cheap metadata probe,
+    no tensor IO); None if the metadata cannot be read."""
+    import orbax.checkpoint as ocp
+
+    try:
+        with ocp.StandardCheckpointer() as ckptr:
+            md = ckptr.metadata(os.path.abspath(path))
+        tree = getattr(md, "item_metadata", md)
+        if hasattr(tree, "tree"):
+            tree = tree.tree
+        return set(tree.keys())
+    except (OSError, ValueError, KeyError, AttributeError, TypeError):
+        return None
+
+
 def restore_train_state(path: str, states, key):
     """Restore a ``save_train_state`` checkpoint into freshly-created states
     (used as the orbax target so optax namedtuple types survive). Falls back
-    to legacy params/EMA-only checkpoints. Returns (states, key, step_i)."""
+    to legacy params/EMA-only checkpoints — detected by probing the saved
+    tree's top-level keys, so a corrupted/mismatched *full* checkpoint
+    surfaces its own restore error instead of a confusing legacy-path
+    KeyError (ADVICE r2). Returns (states, key, step_i)."""
     target = {
         "states": [_state_to_tree(s) for s in states],
         "rng": jax.random.key_data(key),
         "step_i": np.asarray(0, np.int64),
     }
-    try:
+    top = _checkpoint_top_keys(path)
+    if top is not None and "states" in top:
         restored = load_checkpoint(path, target=jax.device_get(target))
-    except Exception:
+    elif top is not None:  # legacy params/EMA-only layout, known for sure
+        restored = None
+    else:  # metadata unreadable: try full, chain the original error
+        try:
+            restored = load_checkpoint(path, target=jax.device_get(target))
+        except Exception as full_err:
+            try:
+                legacy_probe = load_checkpoint(path)
+            except Exception:
+                raise full_err
+            if "params" not in legacy_probe:
+                raise full_err
+            restored = None
+    if restored is None:
         legacy = load_checkpoint(path)  # {"params": ..., "ema": ...}
         lead = states[0].replace(
             params=jax.tree_util.tree_map(jnp_asarray, legacy["params"]),

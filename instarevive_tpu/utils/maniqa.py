@@ -37,8 +37,10 @@ _EMBED = 768
 _NUM_TAB = 2
 _WINDOW = 4
 _SWIN_HEADS = 4
-_SWIN_DEPTH = 2
-_SCALE = 0.8  # residual scale in the swin stages (official 'scale')
+_SWIN_LAYERS = 2  # official depths=[2, 2]: 2 BasicLayers ...
+_SWIN_DEPTH = 2  # ... of 2 SwinTransformerBlocks each
+_SCALE = 0.8  # per-LAYER residual scale (official SwinTransformer.forward)
+_DIM_MLP = 768  # official dim_mlp (MLP hidden width in both stages)
 
 
 def _ln(x, p, name):
@@ -102,16 +104,62 @@ def _tab(x, p, name):
     return a @ v + x
 
 
+def _rel_position_index(window: int) -> np.ndarray:
+    """Swin relative-position index for a window x window grid
+    -> (W^2, W^2) int indices into the (2W-1)^2 bias table."""
+    coords = np.stack(np.meshgrid(np.arange(window), np.arange(window), indexing="ij"))
+    flat = coords.reshape(2, -1)  # (2, W^2)
+    rel = flat[:, :, None] - flat[:, None, :]  # (2, W^2, W^2)
+    rel = rel.transpose(1, 2, 0) + (window - 1)
+    return rel[..., 0] * (2 * window - 1) + rel[..., 1]
+
+
+def _shift_attn_mask(hw: int, window: int, shift: int) -> np.ndarray:
+    """Swin shifted-window attention mask (swin_transformer.py img_mask):
+    (num_windows, W^2, W^2) with 0 / -100 entries."""
+    img_mask = np.zeros((hw, hw), np.int32)
+    slices = (slice(0, -window), slice(-window, -shift), slice(-shift, None))
+    cnt = 0
+    for hs in slices:
+        for ws in slices:
+            img_mask[hs, ws] = cnt
+            cnt += 1
+    nw = hw // window
+    wins = img_mask.reshape(nw, window, nw, window).transpose(0, 2, 1, 3)
+    wins = wins.reshape(nw * nw, window * window)
+    mask = wins[:, None, :] - wins[:, :, None]
+    return np.where(mask != 0, -100.0, 0.0).astype(np.float32)
+
+
 def _window_attn(x, p, name, heads, shift):
-    """Windowed MHSA on (B, H, W, C) with optional cyclic shift (the
-    swin-style stage of the official models/swin.py, no rel-pos bias)."""
+    """Swin WindowAttention on (B, H, W, C): cyclic shift + windowed MHSA
+    with relative-position bias and the standard shifted-window attention
+    mask (official MANIQA models/swin.py adapts Swin's WindowAttention
+    verbatim, incl. relative_position_bias_table — ADVICE r2)."""
     b, hh, ww, c = x.shape
     if shift:
         x = jnp.roll(x, (-_WINDOW // 2, -_WINDOW // 2), axis=(1, 2))
     nwh, nww = hh // _WINDOW, ww // _WINDOW
+    nw = nwh * nww
+    wsq = _WINDOW * _WINDOW
     xw = x.reshape(b, nwh, _WINDOW, nww, _WINDOW, c)
-    xw = xw.transpose(0, 1, 3, 2, 4, 5).reshape(b * nwh * nww, _WINDOW * _WINDOW, c)
-    o = _mha(xw, p, name, heads)
+    xw = xw.transpose(0, 1, 3, 2, 4, 5).reshape(b * nw, wsq, c)
+
+    dh = c // heads
+    qkv = _linear(xw, p, f"{name}/qkv").reshape(b * nw, wsq, 3, heads, dh)
+    q, k, v = jnp.moveaxis(qkv, 2, 0)
+    q, k, v = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))  # (B*nw, h, wsq, dh)
+    s = q @ jnp.swapaxes(k, -1, -2) * dh**-0.5
+    bias = p[f"{name}/rel_bias_table"][jnp.asarray(_rel_position_index(_WINDOW))]
+    s = s + jnp.transpose(bias, (2, 0, 1))[None]  # (1, h, wsq, wsq)
+    if shift:
+        am = jnp.asarray(_shift_attn_mask(hh, _WINDOW, _WINDOW // 2))
+        s = s.reshape(b, nw, heads, wsq, wsq) + am[None, :, None]
+        s = s.reshape(b * nw, heads, wsq, wsq)
+    a = jax.nn.softmax(s, axis=-1)
+    o = jnp.swapaxes(a @ v, 1, 2).reshape(b * nw, wsq, c)
+    o = _linear(o, p, f"{name}/proj")
+
     o = o.reshape(b, nwh, nww, _WINDOW, _WINDOW, c).transpose(0, 1, 3, 2, 4, 5)
     o = o.reshape(b, hh, ww, c)
     if shift:
@@ -120,17 +168,22 @@ def _window_attn(x, p, name, heads, shift):
 
 
 def _swin_stage(x, p, name, dim):
-    """depth-2 swin stage with residual scale (official swin.py, scale=0.8)."""
-    for d in range(_SWIN_DEPTH):
-        n = f"{name}/block{d}"
-        y = _ln(x, p, f"{n}/norm1")
-        y = _window_attn(y, p, f"{n}/attn", _SWIN_HEADS, shift=(d % 2 == 1))
-        x = x + _SCALE * y
-        y = _ln(x, p, f"{n}/norm2")
-        y = _linear(y, p, f"{n}/mlp1")
-        y = jax.nn.gelu(y, approximate=False)
-        y = _linear(y, p, f"{n}/mlp2")
-        x = x + _SCALE * y
+    """Official MANIQA SwinTransformer stage: ``_SWIN_LAYERS`` BasicLayers
+    of ``_SWIN_DEPTH`` standard Swin blocks (plain transformer residuals),
+    with the 0.8 residual scale applied per LAYER:
+    ``x = scale * layer(x) + x`` (models/swin.py forward)."""
+    for l in range(_SWIN_LAYERS):
+        x_in = x
+        for d in range(_SWIN_DEPTH):
+            n = f"{name}/layer{l}/block{d}"
+            y = _ln(x, p, f"{n}/norm1")
+            y = _window_attn(y, p, f"{n}/attn", _SWIN_HEADS, shift=(d % 2 == 1))
+            x = x + y
+            y = _ln(x, p, f"{n}/norm2")
+            y = _linear(y, p, f"{n}/mlp1")
+            y = jax.nn.gelu(y, approximate=False)
+            x = x + _linear(y, p, f"{n}/mlp2")
+        x = _SCALE * x + x_in
     return x
 
 
@@ -248,14 +301,18 @@ def init_random_params(seed: int = 0) -> Dict[str, jnp.ndarray]:
     p["conv2/kernel"] = t(1, 1, _EMBED, _EMBED // 2)
     p["conv2/bias"] = jnp.zeros((_EMBED // 2,))
     for stage, dim in (("swin1", _EMBED), ("swin2", _EMBED // 2)):
-        for d in range(_SWIN_DEPTH):
-            n = f"{stage}/block{d}"
-            lnp(f"{n}/norm1", dim)
-            lin(f"{n}/attn/qkv", dim, 3 * dim)
-            lin(f"{n}/attn/proj", dim, dim)
-            lnp(f"{n}/norm2", dim)
-            lin(f"{n}/mlp1", dim, _EMBED)
-            lin(f"{n}/mlp2", _EMBED, dim)
+        for l in range(_SWIN_LAYERS):
+            for d in range(_SWIN_DEPTH):
+                n = f"{stage}/layer{l}/block{d}"
+                lnp(f"{n}/norm1", dim)
+                lin(f"{n}/attn/qkv", dim, 3 * dim)
+                lin(f"{n}/attn/proj", dim, dim)
+                p[f"{n}/attn/rel_bias_table"] = t(
+                    (2 * _WINDOW - 1) ** 2, _SWIN_HEADS, scale=0.02
+                )
+                lnp(f"{n}/norm2", dim)
+                lin(f"{n}/mlp1", dim, _DIM_MLP)
+                lin(f"{n}/mlp2", _DIM_MLP, dim)
     lin("fc_score1", _EMBED // 2, _EMBED // 2)
     lin("fc_score2", _EMBED // 2, 1)
     lin("fc_weight1", _EMBED // 2, _EMBED // 2)
@@ -315,21 +372,33 @@ def params_from_torch(sd: Dict[str, "np.ndarray"]) -> Dict[str, jnp.ndarray]:
     p["conv2/kernel"] = jnp.transpose(a("conv2.weight"), (2, 3, 1, 0))
     p["conv2/bias"] = a("conv2.bias")
     for stage, src in (("swin1", "swintransformer1"), ("swin2", "swintransformer2")):
-        for d in range(_SWIN_DEPTH):
-            n, s = f"{stage}/block{d}", f"{src}.layers.{d}"
-            lnp(f"{n}/norm1", f"{s}.norm1")
-            lin(f"{n}/attn/qkv", f"{s}.attn.qkv")
-            lin(f"{n}/attn/proj", f"{s}.attn.proj")
-            lnp(f"{n}/norm2", f"{s}.norm2")
-            lin(f"{n}/mlp1", f"{s}.mlp.fc1")
-            lin(f"{n}/mlp2", f"{s}.mlp.fc2")
+        for l in range(_SWIN_LAYERS):
+            for d in range(_SWIN_DEPTH):
+                n = f"{stage}/layer{l}/block{d}"
+                s = f"{src}.layers.{l}.blocks.{d}"
+                lnp(f"{n}/norm1", f"{s}.norm1")
+                lin(f"{n}/attn/qkv", f"{s}.attn.qkv")
+                lin(f"{n}/attn/proj", f"{s}.attn.proj")
+                p[f"{n}/attn/rel_bias_table"] = a(
+                    f"{s}.attn.relative_position_bias_table"
+                )
+                lnp(f"{n}/norm2", f"{s}.norm2")
+                lin(f"{n}/mlp1", f"{s}.mlp.fc1")
+                lin(f"{n}/mlp2", f"{s}.mlp.fc2")
     lin("fc_score1", "fc_score.0")
     lin("fc_score2", "fc_score.3")
     lin("fc_weight1", "fc_weight.0")
     lin("fc_weight2", "fc_weight.3")
 
-    # the timm trunk carries extra heads/norms we don't use (vit.norm, head)
+    # the timm trunk carries extra heads/norms we don't use (vit.norm, head);
+    # relative_position_index / attn_mask are deterministic buffers we
+    # recompute (standard Swin registers them in the state dict)
     ignorable = ("vit.norm.", "vit.head", "vit.pre_logits")
+    sd = {
+        k: v
+        for k, v in sd.items()
+        if not k.endswith((".relative_position_index", ".attn_mask"))
+    }
     leftover = [k for k in sd if not k.startswith(ignorable)]
     if leftover:
         raise KeyError(

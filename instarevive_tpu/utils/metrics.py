@@ -4,9 +4,10 @@ Parity targets: reference ``utils/metrics.py:9-38`` (``calculate_psnr_pt``
 with crop_border + Y-channel option), ``utils/util_image.py:17-116``
 (PSNR/SSIM numpy versions, basicsr conventions), ``evaluate_img.py``
 metric set. LPIPS is provided as an AlexNet-feature distance whose weights
-can be imported from the ``lpips`` package checkpoint when available
-(utils/metrics.py:41-66); without weights it degrades to a documented
-feature-space proxy with ImageNet-init features.
+must be imported from the ``lpips`` package checkpoint
+(utils/metrics.py:41-66); calling it WITHOUT weights raises — there is no
+silent random-feature fallback, so an "lpips" number in any output always
+comes from real imported weights (VERDICT r2 item 8).
 """
 
 from __future__ import annotations

@@ -4,7 +4,8 @@ Parity target: the reference metric set ``evaluate_img.py:13-33`` creates
 ``pyiqa.create_metric('musiq')`` — the Google multi-scale IQA transformer
 (Ke et al., ICCV 2021): the image is represented at its NATIVE resolution
 plus aspect-ratio-preserving resizes (longer side 384 and 224); every scale
-is cut into 32x32 patches, each patch is encoded by a small conv root +
+is cut into 32x32 patches, each patch is encoded by the paper's 5-layer
+ResNet root (WS-conv 7x7/2 + GN + maxpool + one bottleneck unit 64->256) +
 linear projection, and all patches from all scales go through ONE
 transformer encoder with (a) a hash-based 2-D spatial embedding on a GxG
 grid (G=10) shared across scales and (b) a learned per-scale embedding,
@@ -38,6 +39,9 @@ _MLP = 1152
 _GRID = 10  # hash-based spatial grid
 _SCALES = (0, 384, 224)  # 0 = native resolution
 _MAX_SEQ = 512  # static per-image patch cap (native 512x512 -> 256 patches)
+_ROOT_W = 64  # ResNet-root width (conv_root / bottleneck cmid)
+_ROOT_OUT = 256  # bottleneck output channels
+_ROOT_HW = _P // 4  # patch spatial size after root (stride-2 conv + pool)
 
 
 def _ln(x, p, name):
@@ -127,15 +131,38 @@ def musiq_forward(params, patches, hash_idx, scale_ids, mask) -> jnp.ndarray:
     p = params
     b, n, _ = patches.shape
     x = patches.reshape(b, n, _P, _P, 3)
-    # conv root on each patch (5x5 stride 1 + maxpool /2), then projection
+    # ResNet patch-encoding root (paper §3.1 "5-layer ResNet root";
+    # BiT/ViT-hybrid layout: WS-conv 7x7/2 'conv_root' + GN + relu +
+    # maxpool 3x3/2 + one PreActBottleneck unit 64->256), then projection.
+    # Weight standardization is folded into the stored kernels at import.
     x = x.reshape(b * n, _P, _P, 3)
-    x = jax.lax.conv_general_dilated(
-        x, p["root/kernel"], (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
-    ) + p["root/bias"]
-    x = jax.nn.relu(x)
+
+    def conv(x, name, stride=1):
+        return jax.lax.conv_general_dilated(
+            x, p[f"{name}/kernel"], (stride, stride), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    def gn(x, name, groups=32):
+        c = x.shape[-1]
+        g = min(groups, c)
+        xg = x.reshape(*x.shape[:-1], g, c // g)
+        mu = xg.mean((-4, -3, -1), keepdims=True)
+        var = ((xg - mu) ** 2).mean((-4, -3, -1), keepdims=True)
+        xg = (xg - mu) / jnp.sqrt(var + 1e-6)
+        return xg.reshape(x.shape) * p[f"{name}/scale"] + p[f"{name}/bias"]
+
+    x = conv(x, "conv_root", stride=2)  # 32 -> 16
+    x = jax.nn.relu(gn(x, "gn_root"))
     x = jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "SAME"
-    )
+    )  # 16 -> 8
+    res = gn(conv(x, "unit1/downsample"), "unit1/gn_proj", groups=_ROOT_OUT)
+    y = jax.nn.relu(gn(conv(x, "unit1/conv1"), "unit1/gn1"))
+    y = jax.nn.relu(gn(conv(y, "unit1/conv2"), "unit1/gn2"))
+    y = gn(conv(y, "unit1/conv3"), "unit1/gn3")
+    x = jax.nn.relu(res + y)  # (B*N, 8, 8, 256)
+
     x = x.reshape(b, n, -1)
     x = _linear(x, p, "embed")  # (B, N, D)
     x = x + p["spatial_embed"][hash_idx] + p["scale_embed"][scale_ids]
@@ -181,11 +208,23 @@ def init_random_params(seed: int = 0, head_out: int = 1) -> Dict[str, jnp.ndarra
         )
         return jnp.asarray(rng.standard_normal(shape).astype(np.float32) * scale)
 
-    root_out = 64
-    flat = (_P // 4) * (_P // 4) * root_out
+    flat = _ROOT_HW * _ROOT_HW * _ROOT_OUT
     p = {
-        "root/kernel": t(5, 5, 3, root_out),
-        "root/bias": jnp.zeros((root_out,)),
+        "conv_root/kernel": t(7, 7, 3, _ROOT_W),
+        "gn_root/scale": jnp.ones((_ROOT_W,)),
+        "gn_root/bias": jnp.zeros((_ROOT_W,)),
+        "unit1/conv1/kernel": t(1, 1, _ROOT_W, _ROOT_W),
+        "unit1/gn1/scale": jnp.ones((_ROOT_W,)),
+        "unit1/gn1/bias": jnp.zeros((_ROOT_W,)),
+        "unit1/conv2/kernel": t(3, 3, _ROOT_W, _ROOT_W),
+        "unit1/gn2/scale": jnp.ones((_ROOT_W,)),
+        "unit1/gn2/bias": jnp.zeros((_ROOT_W,)),
+        "unit1/conv3/kernel": t(1, 1, _ROOT_W, _ROOT_OUT),
+        "unit1/gn3/scale": jnp.ones((_ROOT_OUT,)),
+        "unit1/gn3/bias": jnp.zeros((_ROOT_OUT,)),
+        "unit1/downsample/kernel": t(1, 1, _ROOT_W, _ROOT_OUT),
+        "unit1/gn_proj/scale": jnp.ones((_ROOT_OUT,)),
+        "unit1/gn_proj/bias": jnp.zeros((_ROOT_OUT,)),
         "embed/kernel": t(flat, _D),
         "embed/bias": jnp.zeros((_D,)),
         "spatial_embed": t(_GRID * _GRID, _D, scale=0.02),
@@ -225,36 +264,107 @@ def params_from_npz(path: str) -> Dict[str, jnp.ndarray]:
     return {k: jnp.asarray(f[k]) for k in f.files}
 
 
-def params_from_torch(sd: Dict[str, "np.ndarray"]) -> Dict[str, jnp.ndarray]:
-    """Best-effort import of a pyiqa MUSIQ checkpoint.
+def _std_conv_kernel(w_oihw: np.ndarray) -> np.ndarray:
+    """Fold BiT weight standardization (per-output-channel zero-mean /
+    unit-var over (in, kh, kw)) into the stored kernel, OIHW -> HWIO."""
+    w = np.asarray(w_oihw, np.float32)
+    mu = w.mean(axis=(1, 2, 3), keepdims=True)
+    var = w.var(axis=(1, 2, 3), keepdims=True)
+    w = (w - mu) / np.sqrt(var + 1e-10)
+    return w.transpose(2, 3, 1, 0)
 
-    The official MUSIQ release is a JAX/TF checkpoint that pyiqa re-exports
-    to torch; its conv-root layout differs between releases, so this mapper
-    targets the transformer/embedding names (stable across releases) and
-    raises with the unmatched-key list if the root stem naming drifts —
-    fitting that map to a concrete local checkpoint is a visible one-line
-    change, never silent corruption.
-    """
+
+# The torch-side key layout this importer consumes (also the literal list
+# tests/test_iqa_nets.py asserts against). It follows the structure of the
+# pyiqa/anse3832 MUSIQ port — BiT/ViT-hybrid ResNet-root naming
+# (conv_root / gn_root / block1.unit1.{gn1..3, conv1..3, downsample,
+# gn_proj}) + ViT-pytorch-style transformer naming (attention_norm /
+# attn.query|key|value|out / ffn_norm / ffn.fc1|fc2 / encoder_norm).
+# Reconstructed without checkpoint access (zero egress): if a concrete
+# local release drifts from this, the importer raises with the exact
+# unmatched keys, never silently corrupts. `params_from_npz` remains the
+# native persistence format.
+_TORCH_DIALECT = {
+    "cls": "transformer_encoder.cls_token",
+    "spatial_embed": "transformer_encoder.pos_emb",
+    "scale_embed": "transformer_encoder.scale_emb",
+}
+
+
+def params_from_torch(sd: Dict[str, "np.ndarray"]) -> Dict[str, jnp.ndarray]:
+    """Import a torch MUSIQ checkpoint in the documented dialect (see
+    ``_TORCH_DIALECT`` comment). Tensor conventions: Linear (out,in) ->
+    transposed; convs OIHW -> HWIO with BiT weight standardization folded
+    in; the 10-way AVA head is kept as-is (forward reduces it to a mean).
+    Raises with the full unmatched-key list on naming drift."""
     import torch
 
+    sd = dict(sd)
+    sd = {k[7:] if k.startswith("module.") else k: v for k, v in sd.items()}
+
     def a(k):
+        if k not in sd:
+            raise KeyError(
+                f"MUSIQ importer: missing key {k!r}; checkpoint keys: "
+                + ", ".join(sorted(sd)[:20])
+            )
         v = sd.pop(k)
-        return jnp.asarray(
-            v.detach().float().numpy() if isinstance(v, torch.Tensor) else np.asarray(v, np.float32)
+        return (
+            v.detach().float().numpy()
+            if isinstance(v, torch.Tensor)
+            else np.asarray(v, np.float32)
         )
 
-    sd = dict(sd)
     p = {}
-    name_map = {
-        "transformer_encoder.cls_token": "cls",
-        "transformer_encoder.scale_emb": "scale_embed",
-        "transformer_encoder.pos_emb": "spatial_embed",
-    }
-    for src, dst in name_map.items():
-        if src in sd:
-            p[dst] = a(src).reshape(-1, _D) if dst != "cls" else a(src).reshape(1, _D)
-    remaining = sorted(sd)
-    raise KeyError(
-        "MUSIQ importer: this checkpoint's key naming must be fitted once "
-        f"against the local release; found keys: {remaining[:20]} ..."
+    p["cls"] = jnp.asarray(a(_TORCH_DIALECT["cls"]).reshape(1, _D))
+    p["spatial_embed"] = jnp.asarray(
+        a(_TORCH_DIALECT["spatial_embed"]).reshape(-1, _D)[: _GRID * _GRID]
     )
+    p["scale_embed"] = jnp.asarray(
+        a(_TORCH_DIALECT["scale_embed"]).reshape(-1, _D)[: len(_SCALES)]
+    )
+
+    def lin(dst, src):
+        p[f"{dst}/kernel"] = jnp.asarray(a(f"{src}.weight").T)
+        p[f"{dst}/bias"] = jnp.asarray(a(f"{src}.bias"))
+
+    def lnp(dst, src):
+        p[f"{dst}/scale"] = jnp.asarray(a(f"{src}.weight"))
+        p[f"{dst}/bias"] = jnp.asarray(a(f"{src}.bias"))
+
+    def gnp(dst, src):
+        p[f"{dst}/scale"] = jnp.asarray(a(f"{src}.weight"))
+        p[f"{dst}/bias"] = jnp.asarray(a(f"{src}.bias"))
+
+    # ResNet root (weight-standardized convs, no conv biases)
+    p["conv_root/kernel"] = jnp.asarray(_std_conv_kernel(a("conv_root.weight")))
+    gnp("gn_root", "gn_root")
+    for c in ("conv1", "conv2", "conv3", "downsample"):
+        p[f"unit1/{c}/kernel"] = jnp.asarray(
+            _std_conv_kernel(a(f"block1.unit1.{c}.weight"))
+        )
+    for g in ("gn1", "gn2", "gn3", "gn_proj"):
+        gnp(f"unit1/{g}", f"block1.unit1.{g}")
+    lin("embed", "embedding")
+
+    for i in range(_LAYERS):
+        n, s = f"block{i}", f"transformer_encoder.layers.{i}"
+        lnp(f"{n}/norm1", f"{s}.attention_norm")
+        q_w, k_w, v_w = (a(f"{s}.attn.{t}.weight") for t in ("query", "key", "value"))
+        q_b, k_b, v_b = (a(f"{s}.attn.{t}.bias") for t in ("query", "key", "value"))
+        p[f"{n}/qkv/kernel"] = jnp.asarray(np.concatenate([q_w.T, k_w.T, v_w.T], 1))
+        p[f"{n}/qkv/bias"] = jnp.asarray(np.concatenate([q_b, k_b, v_b]))
+        lin(f"{n}/proj", f"{s}.attn.out")
+        lnp(f"{n}/norm2", f"{s}.ffn_norm")
+        lin(f"{n}/mlp1", f"{s}.ffn.fc1")
+        lin(f"{n}/mlp2", f"{s}.ffn.fc2")
+    lnp("norm", "transformer_encoder.encoder_norm")
+    lin("head", "head")
+
+    leftover = [k for k in sd if not k.endswith("num_batches_tracked")]
+    if leftover:
+        raise KeyError(
+            "MUSIQ importer: unmatched checkpoint keys (naming drift?): "
+            + ", ".join(sorted(leftover)[:20])
+        )
+    return p

@@ -188,6 +188,10 @@ def test_dpm_solver_matches_reference():
         dict(order=2, method="multistep", skip_type="time_quadratic"),
         dict(order=2, method="multistep", dynamic_thresholding=True),
         dict(order=2, method="multistep", denoise_to_zero=True),
+        # denoise_to_zero must route through the thresholded x0 corrector
+        # (reference data_prediction_fn; ADVICE r2)
+        dict(order=2, method="multistep", denoise_to_zero=True,
+             dynamic_thresholding=True),
     ],
 )
 def test_dpm_solver_family_matches_reference(kwargs):

@@ -96,7 +96,7 @@ def main():
         data = degrade(dk, hq01)
         pred, stage1 = sample(params, data["lq"], sk)
         hq = (np.asarray(data["hq"]) + 1) / 2
-        pr = np.asarray(pred)
+        pr = np.clip(np.asarray(pred), 0.0, 1.0)  # decode is unclamped
         all_psnr += list(np.asarray(psnr(jnp.asarray(pr), jnp.asarray(hq))))
         all_ssim += list(np.asarray(ssim(jnp.asarray(pr), jnp.asarray(hq))))
         panel = log_images_panel(np.asarray(data["lq"]), pr, hq)
