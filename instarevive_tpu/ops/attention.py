@@ -319,6 +319,7 @@ def _flash_vjp_bwd(scale, has_mask, block_q, block_k, res, g):
 _flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 
 
+import json
 import os
 
 # Defaults from tools/flash_sweep.py on v5e at the DiT hot shape
@@ -327,6 +328,44 @@ import os
 # round_up(nk,128) clamp below.
 _BLOCK_Q = int(os.environ.get("FLASH_BLOCK_Q", "512"))
 _BLOCK_K = int(os.environ.get("FLASH_BLOCK_K", "2048"))
+
+
+def _load_block_table():
+    """Per-shape (block_q, block_k) table fitted by ``tools/flash_sweep.py
+    --table`` on real TPU (VERDICT r2 item 6) and persisted next to this
+    module. Keys are "nq_bucket:nk_bucket" with power-of-two buckets;
+    values [block_q, block_k]. FLASH_BLOCK_Q/K env vars override the table
+    wholesale; a missing/corrupt file falls back to the swept defaults."""
+    path = os.environ.get(
+        "FLASH_BLOCK_TABLE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "flash_blocks.json"),
+    )
+    try:
+        with open(path) as f:
+            raw = json.load(f)
+        return {k: tuple(v) for k, v in raw.get("table", {}).items()}
+    except (OSError, ValueError):
+        return {}
+
+
+_BLOCK_TABLE = _load_block_table()
+
+
+def _bucket(n: int) -> int:
+    """Smallest power of two >= n (>= 128)."""
+    b = 128
+    while b < n:
+        b *= 2
+    return b
+
+
+def _pick_blocks(nq: int, nk: int) -> tuple:
+    """(block_q, block_k) for this shape: explicit env override first, then
+    the fitted table at the (nq, nk) bucket, then swept defaults."""
+    if "FLASH_BLOCK_Q" in os.environ or "FLASH_BLOCK_K" in os.environ:
+        return _BLOCK_Q, _BLOCK_K
+    got = _BLOCK_TABLE.get(f"{_bucket(nq)}:{_bucket(nk)}")
+    return tuple(got) if got else (_BLOCK_Q, _BLOCK_K)
 
 
 @functools.partial(
@@ -338,8 +377,8 @@ def flash_attention(
     v: jnp.ndarray,
     kv_mask: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
-    block_q: int = _BLOCK_Q,
-    block_k: int = _BLOCK_K,
+    block_q: Optional[int] = None,  # None: fitted table / swept defaults
+    block_k: Optional[int] = None,
     fp32_softmax: bool = True,  # kernel always reduces in f32
 ) -> jnp.ndarray:
     """Pallas flash attention. q:(B,H,N,D), k/v:(B,H,Nk,D), kv_mask:(B,Nk).
@@ -355,6 +394,10 @@ def flash_attention(
     b, h, nq, d = q.shape
     nk = k.shape[2]
     scale = d**-0.5 if scale is None else scale
+    if block_q is None or block_k is None:
+        tbq, tbk = _pick_blocks(nq, nk)
+        block_q = tbq if block_q is None else block_q
+        block_k = tbk if block_k is None else block_k
 
     def round_up(x, m):
         return -(-x // m) * m

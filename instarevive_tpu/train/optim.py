@@ -179,6 +179,66 @@ def came(
 # ---------------------------------------------------------------------------
 
 
+class AdamWLowMemState(NamedTuple):
+    count: jnp.ndarray
+    mu: optax.Updates
+    nu: optax.Updates
+
+
+def adamw_lowmem(
+    learning_rate,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+    moment_dtype=jnp.bfloat16,
+) -> optax.GradientTransformation:
+    """AdamW with BOTH moments stored in ``moment_dtype`` (default bf16).
+
+    The HBM-fit knob for single-chip PixArt-XL-2 DMD (VERDICT r2 item 1):
+    f32 AdamW for the two-model step needs ~19 GB vs 16 GB/v5e; bf16
+    moments halve the optimizer-state footprint. Math runs in f32 (moments
+    are upcast per step, updated, then stored back) — the T5X-style
+    low-memory Adam convention.
+    """
+
+    def init(params):
+        z = lambda p: jnp.zeros_like(p, dtype=moment_dtype)
+        return AdamWLowMemState(
+            count=jnp.zeros((), jnp.int32),
+            mu=jax.tree_util.tree_map(z, params),
+            nu=jax.tree_util.tree_map(z, params),
+        )
+
+    def update(grads, state, params=None):
+        count = state.count + 1
+        cf = count.astype(jnp.float32)
+        bc1 = 1.0 - b1**cf
+        bc2 = 1.0 - b2**cf
+
+        def upd(g, m, v, p):
+            g = g.astype(jnp.float32)
+            m32 = b1 * m.astype(jnp.float32) + (1.0 - b1) * g
+            v32 = b2 * v.astype(jnp.float32) + (1.0 - b2) * g * g
+            step = (m32 / bc1) / (jnp.sqrt(v32 / bc2) + eps)
+            if weight_decay:
+                step = step + weight_decay * p.astype(jnp.float32)
+            lr = learning_rate(count - 1) if callable(learning_rate) else learning_rate
+            return (
+                (-lr * step).astype(p.dtype),
+                m32.astype(moment_dtype),
+                v32.astype(moment_dtype),
+            )
+
+        out = jax.tree_util.tree_map(upd, grads, state.mu, state.nu, params)
+        updates = jax.tree_util.tree_map(lambda o: o[0], out, is_leaf=lambda x: isinstance(x, tuple))
+        mu = jax.tree_util.tree_map(lambda o: o[1], out, is_leaf=lambda x: isinstance(x, tuple))
+        nu = jax.tree_util.tree_map(lambda o: o[2], out, is_leaf=lambda x: isinstance(x, tuple))
+        return updates, AdamWLowMemState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
+
+
 def build_optimizer(
     name: str = "adamw",
     learning_rate=1e-5,
@@ -186,11 +246,20 @@ def build_optimizer(
     betas=(0.9, 0.999),
     grad_clip_norm: Optional[float] = 10.0,  # max_grad_norm 10 (run_pixart_dmd.py:27)
     grad_accum: int = 1,
+    moment_dtype=None,  # e.g. jnp.bfloat16: low-memory moments (HBM fit)
 ) -> optax.GradientTransformation:
-    if name == "adamw":
+    if name == "adamw" and moment_dtype is not None:
+        opt = adamw_lowmem(
+            learning_rate, b1=betas[0], b2=betas[1], weight_decay=weight_decay,
+            moment_dtype=moment_dtype,
+        )
+    elif name == "adamw":
         opt = optax.adamw(learning_rate, b1=betas[0], b2=betas[1], weight_decay=weight_decay)
     elif name == "lion":
-        opt = optax.lion(learning_rate, b1=betas[0], b2=betas[1], weight_decay=weight_decay)
+        opt = optax.lion(
+            learning_rate, b1=betas[0], b2=betas[1], weight_decay=weight_decay,
+            **({"mu_dtype": moment_dtype} if moment_dtype is not None else {}),
+        )
     elif name == "came":
         opt = came(learning_rate, weight_decay=weight_decay)
     else:

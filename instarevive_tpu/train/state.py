@@ -26,12 +26,19 @@ class TrainState(struct.PyTreeNode):
     ema_warmup: bool = struct.field(pytree_node=False, default=True)
 
     @classmethod
-    def create(cls, params, tx, ema: bool = True, ema_rate: float = 0.9999):
+    def create(cls, params, tx, ema: bool = True, ema_rate: float = 0.9999,
+               ema_dtype=None):
+        """``ema_dtype`` (e.g. bf16) stores the EMA shadow tree compactly —
+        an HBM-fit knob for single-chip XL-2 DMD; the EMA update itself
+        runs in f32 and casts back."""
+        def mk_ema(p):
+            return p.astype(ema_dtype) if ema_dtype is not None else jnp.copy(p)
+
         return cls(
             step=jnp.zeros((), jnp.int32),
             params=params,
             opt_state=tx.init(params),
-            ema_params=jax.tree_util.tree_map(jnp.copy, params) if ema else None,
+            ema_params=jax.tree_util.tree_map(mk_ema, params) if ema else None,
             tx=tx,
             ema_rate=ema_rate,
         )
@@ -48,6 +55,10 @@ class TrainState(struct.PyTreeNode):
                 n = step.astype(jnp.float32)
                 decay = jnp.minimum(self.ema_rate, (1.0 + n) / (10.0 + n))
             ema = jax.tree_util.tree_map(
-                lambda e, p: e * decay + p * (1.0 - decay), ema, new_params
+                lambda e, p: (
+                    e.astype(jnp.float32) * decay
+                    + p.astype(jnp.float32) * (1.0 - decay)
+                ).astype(e.dtype),
+                ema, new_params,
             )
         return self.replace(step=step, params=new_params, opt_state=new_opt, ema_params=ema)

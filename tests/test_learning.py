@@ -198,3 +198,47 @@ def test_restore_legacy_params_only(tmp_path):
         np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
         np.asarray(jax.tree_util.tree_leaves(mutated)[0]),
     )
+
+
+def test_adamw_lowmem_matches_optax_adamw():
+    """bf16-moment AdamW (the XL-2 single-chip HBM-fit knob) tracks optax
+    adamw closely over steps; state is stored in bf16."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from instarevive_tpu.train.optim import adamw_lowmem
+
+    params = {"w": jnp.linspace(-1, 1, 64).reshape(8, 8), "b": jnp.ones((8,))}
+    lr = 1e-2
+    ref_tx = optax.adamw(lr, b1=0.9, b2=0.999, weight_decay=0.01)
+    low_tx = adamw_lowmem(lr, b1=0.9, b2=0.999, weight_decay=0.01,
+                          moment_dtype=jnp.bfloat16)
+    rp, lp = params, params
+    rs, ls = ref_tx.init(rp), low_tx.init(lp)
+    assert ls.mu["w"].dtype == jnp.bfloat16 and ls.nu["b"].dtype == jnp.bfloat16
+    for i in range(5):
+        g = jax.tree_util.tree_map(
+            lambda p: 0.1 * jnp.cos(p + i), rp
+        )
+        ru, rs = ref_tx.update(g, rs, rp)
+        rp = optax.apply_updates(rp, ru)
+        lu, ls = low_tx.update(g, ls, lp)
+        lp = optax.apply_updates(lp, lu)
+    for k in rp:
+        np.testing.assert_allclose(np.asarray(lp[k]), np.asarray(rp[k]),
+                                   atol=5e-3, rtol=5e-3)
+
+
+def test_train_state_ema_dtype_bf16():
+    import jax.numpy as jnp
+    import optax
+
+    from instarevive_tpu.train.state import TrainState
+
+    params = {"w": jnp.ones((4, 4))}
+    st = TrainState.create(params, optax.sgd(0.1), ema=True, ema_dtype=jnp.bfloat16)
+    assert st.ema_params["w"].dtype == jnp.bfloat16
+    st2 = st.apply_gradients({"w": jnp.ones((4, 4))})
+    assert st2.ema_params["w"].dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(st2.ema_params["w"], np.float32)).all()

@@ -37,6 +37,10 @@ def parse_args():
     p.add_argument("--max_grad_norm", type=float, default=10.0)
     p.add_argument("--optimizer", default="adamw", choices=["adamw", "lion", "came"])
     p.add_argument("--ema_rate", type=float, default=0.9999)
+    p.add_argument("--lowmem", action="store_true",
+                   help="HBM-fit knobs for single-chip XL-2 DMD: bf16 "
+                        "optimizer moments, bf16 EMA shadow, bf16 frozen "
+                        "teacher (BENCH.md train table config)")
     p.add_argument("--fsdp", type=int, default=1)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--maxt", type=int, default=400)
@@ -130,9 +134,11 @@ def main():
     degrade = degrade_batch if args.degradation == "realesrgan" else degrade_batch_codeformer
     degrade_jit = jax.jit(lambda k, x: degrade(k, x, deg_cfg))
 
+    moment_dtype = jnp.bfloat16 if args.lowmem else None
     tx = build_optimizer(
         args.optimizer, constant_with_warmup(args.lr, args.warmup),
         grad_clip_norm=args.max_grad_norm, grad_accum=args.grad_accum,
+        moment_dtype=moment_dtype,
     )
 
     sched = pipe.sched
@@ -170,7 +176,10 @@ def main():
                 out = pipe.dit.apply({"params": p}, z, t.astype(jnp.float32), cond["y"])
                 return out[..., : z.shape[-1]]
 
-            teacher = jax.tree_util.tree_map(jnp.copy, params["dit"])
+            teacher = jax.tree_util.tree_map(
+                (lambda x: x.astype(jnp.bfloat16)) if args.lowmem else jnp.copy,
+                params["dit"],
+            )
 
             # Teacher CFG (reference trains with --cfg 3 on the real score,
             # scripts/run_pixart_dmd.py:95): uncond branch = cached null-prompt
@@ -189,12 +198,15 @@ def main():
                         "uncond embedding", args.cfg_scale)
 
             gen_state = TrainState.create(
-                shard_params(params["dit"], mesh), tx, ema=True, ema_rate=args.ema_rate
+                shard_params(params["dit"], mesh), tx, ema=True,
+                ema_rate=args.ema_rate,
+                ema_dtype=jnp.bfloat16 if args.lowmem else None,
             )
             fake_tx = build_optimizer(
                 args.optimizer,
                 constant_with_warmup(args.lr * args.lr_fake_multiplier, args.warmup),
                 grad_clip_norm=args.max_grad_norm, grad_accum=args.grad_accum,
+                moment_dtype=moment_dtype,
             )
             fake_state = TrainState.create(
                 shard_params(jax.tree_util.tree_map(jnp.copy, params["dit"]), mesh),
