@@ -45,14 +45,17 @@ def _box_fold_kernel(w: jnp.ndarray) -> jnp.ndarray:
     return wp[0:4, 0:4] + wp[1:5, 0:4] + wp[0:4, 1:5] + wp[1:5, 1:5]
 
 
-def upsample2x_conv3x3(x: jnp.ndarray, w: jnp.ndarray, b=None) -> jnp.ndarray:
-    """NHWC x (B,H,W,I), HWIO w (3,3,I,O) -> (B,2H,2W,O); exactly equals
-    conv3x3_SAME(nearest_up2x(x), w) (+ b)."""
+def upsample2x_conv3x3(x: jnp.ndarray, w: jnp.ndarray, b=None,
+                       groups: int = 1) -> jnp.ndarray:
+    """NHWC x (B,H,W,I), HWIO w (3,3,I/groups,O) -> (B,2H,2W,O); exactly
+    equals conv3x3_SAME(nearest_up2x(x), w) (+ b). ``groups`` supports the
+    packed batch-in-channels decode (ops/packed_vae.py)."""
     W = _box_fold_kernel(w)
     out = jax.lax.conv_general_dilated(
         x, W, window_strides=(1, 1), padding=((2, 2), (2, 2)),
         lhs_dilation=(2, 2),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
     )
     if b is not None:
         out = out + b
