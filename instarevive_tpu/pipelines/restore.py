@@ -51,6 +51,15 @@ def tile_grid(h: int, w: int, tile: int, stride: int) -> np.ndarray:
     return np.stack(np.meshgrid(hs, ws, indexing="ij"), axis=-1).reshape(-1, 2)
 
 
+def _packed_decode() -> bool:
+    """IR_PACKED_DECODE=1: decode a batch as ONE N=1 grouped-conv program
+    (ops/packed_vae.py) instead of the per-sample lax.map; read at trace
+    time (opt-in until TPU-measured faster than the map)."""
+    import os
+
+    return os.environ.get("IR_PACKED_DECODE", "0") == "1"
+
+
 def _batched_conv_stages() -> bool:
     """IR_BATCHED_CONV_STAGES=1 runs clean/encode/decode batched instead of
     the per-sample lax.map workaround (round-1 N>1 conv-layout storm);
@@ -112,6 +121,17 @@ class RestorationPipeline:
 
         if img01.shape[0] == 1 or _batched_conv_stages():
             return _enc(img01)
+        if _packed_decode():
+            from instarevive_tpu.ops.packed_vae import encode_mode_packed
+
+            z = encode_mode_packed(
+                params["vae"], img01 * 2.0 - 1.0,
+                ch=self.vae.ch, ch_mult=tuple(self.vae.ch_mult),
+                num_res_blocks=self.vae.num_res_blocks,
+                z_channels=self.vae.z_channels, embed_dim=self.vae.embed_dim,
+                dtype=self.vae.dtype,
+            )
+            return z * VAE_SCALE
         return jax.lax.map(lambda xi: _enc(xi[None])[0], img01)
 
     def decode(self, params, z):
@@ -136,6 +156,17 @@ class RestorationPipeline:
 
         if z.shape[0] == 1 or _batched_conv_stages():
             return _dec(z)
+        if _packed_decode():
+            # batch-in-channels grouped-conv program: exact, one N=1 conv
+            # stack with fat channels instead of the serial per-sample map
+            from instarevive_tpu.ops.packed_vae import decode_packed
+
+            img = decode_packed(
+                params["vae"], z / VAE_SCALE,
+                ch=self.vae.ch, ch_mult=tuple(self.vae.ch_mult),
+                num_res_blocks=self.vae.num_res_blocks, dtype=self.vae.dtype,
+            )
+            return img / 2.0 + 0.5
         return jax.lax.map(lambda zi: _dec(zi[None])[0], z)
 
     def one_step(self, params, z_init, y, y_mask=None, c=None):

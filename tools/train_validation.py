@@ -50,6 +50,11 @@ def main():
     ap.add_argument("--dmd_steps", type=int, default=2000)
     ap.add_argument("--reflow_steps", type=int, default=2000)
     ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--size", type=int, default=32, help="image size (v2: 64)")
+    ap.add_argument("--hidden", type=int, default=128)
+    ap.add_argument("--depth", type=int, default=4)
+    ap.add_argument("--heads", type=int, default=4)
+    ap.add_argument("--patch", type=int, default=4)
     ap.add_argument("--log_every", type=int, default=100)
     args = ap.parse_args()
 
@@ -78,10 +83,11 @@ def main():
     from instarevive_tpu.train.state import TrainState
     from instarevive_tpu.utils.metrics import psnr, ssim
 
-    size, b = 32, args.batch
+    size, b = args.size, args.batch
     sched = make_schedule("linear", 1000)
-    dit = PixArt(input_size=size, patch_size=4, in_channels=3, hidden_size=128,
-                 depth=4, num_heads=4, caption_channels=16, model_max_length=4,
+    dit = PixArt(input_size=size, patch_size=args.patch, in_channels=3,
+                 hidden_size=args.hidden, depth=args.depth,
+                 num_heads=args.heads, caption_channels=16, model_max_length=4,
                  mlp_ratio=2.0)
     y = jnp.zeros((b, 4, 16))
 
@@ -94,8 +100,10 @@ def main():
     lines = [
         "# Training validation (synthetic, self-contained)",
         "",
-        f"backend: **{plat}**, image space 32x32x3, DiT(128h/4L/4heads), "
-        f"batch {b}; procedural HQ distribution (low-freq fields + ramps).",
+        f"backend: **{plat}**, image space {size}x{size}x3, "
+        f"DiT({args.hidden}h/{args.depth}L/{args.heads}heads, patch "
+        f"{args.patch}), batch {b}; procedural HQ distribution (low-freq "
+        f"fields + ramps).",
         "",
     ]
 
@@ -138,8 +146,10 @@ def main():
               "| step | eps MSE |", "|---|---|"]
     lines += [f"| {i} | {v:.4f} |" for i, v in curve_a[:: max(len(curve_a) // 10, 1)]]
     first_a, last_a = curve_a[0][1], curve_a[-1][1]
+    dt_a = time.time() - t0
     lines += ["", f"loss {first_a:.4f} -> {last_a:.4f} "
-              f"({args.teacher_steps} steps, {time.time() - t0:.0f}s)", ""]
+              f"({args.teacher_steps} steps, {dt_a:.0f}s, "
+              f"{args.teacher_steps / dt_a:.1f} steps/s)", ""]
     assert last_a < first_a * 0.7, "teacher did not train"
 
     # teacher sample quality reference: 20-step DPM-Solver++ samples
@@ -209,7 +219,9 @@ def main():
               "", "| step | regression | dm | fake_score |", "|---|---|---|---|"]
     lines += [f"| {i} | {r:.4f} | {d:.4f} | {f:.4f} |"
               for i, r, d, f in curve_b[:: max(len(curve_b) // 10, 1)]]
-    lines += ["", f"({args.dmd_steps} steps, {time.time() - t0:.0f}s)", "",
+    dt_b = time.time() - t0
+    lines += ["", f"({args.dmd_steps} steps, {dt_b:.0f}s, "
+              f"{args.dmd_steps / dt_b:.1f} steps/s)", "",
               "1-step generation vs teacher 20-step DPM-Solver++ on held-out noise:",
               "", "| generator | PSNR | SSIM |", "|---|---|---|",
               f"| init (= teacher weights, 1-step) | {psnr_init:.2f} | {ssim_init:.4f} |",
@@ -266,7 +278,8 @@ def main():
     lines += [f"| {i} | {v:.4f} |" for i, v in curve_c[:: max(len(curve_c) // 10, 1)]]
     first_c, last_c = curve_c[0][1], curve_c[-1][1]
     lines += ["", f"loss {first_c:.4f} -> {last_c:.4f} "
-              f"({args.reflow_steps} steps, {time.time() - t0:.0f}s)", "",
+              f"({args.reflow_steps} steps, {time.time() - t0:.0f}s, "
+              f"{args.reflow_steps / max(time.time() - t0, 1e-9):.1f} steps/s)", "",
               "1-step Euler generation, distribution moments vs data "
               "(|d mean| + |d std|, lower is better):", "",
               f"- init: {d_init:.4f}", f"- EMA after reflow: {d_ema:.4f}", ""]
