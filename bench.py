@@ -56,6 +56,15 @@ def main():
     # bf16 compute on TPU (the serving configuration); params stay f32 master
     pipe = build_pipeline(cfg, dtype=jnp.bfloat16 if backend == "tpu" else None)
     params = init_params(pipe, seed=0)
+    if os.environ.get("BENCH_BF16_PARAMS") == "1":
+        # experiment: hand the conv stages bf16 params so the per-call
+        # f32->bf16 convert nodes disappear from the graph (suspected
+        # contributor to the N>1 conv layout pathology, BENCH.md)
+        params = {
+            k: (jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), v)
+                if k in ("swinir", "vae") else v)
+            for k, v in params.items()
+        }
 
     y = jnp.zeros((batch, pipe.dit.model_max_length, pipe.dit.caption_channels))
     lq = jnp.full((batch, size, size, 3), 0.5, jnp.float32)

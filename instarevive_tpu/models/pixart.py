@@ -297,6 +297,11 @@ class PixArt(nn.Module):
     window_block_indexes: Sequence[int] = ()
     micro_condition: bool = False  # PixArtMS img_hw + aspect-ratio embeds
     grad_checkpoint: bool = False
+    # jax.checkpoint policy name for grad_checkpoint blocks: 'full' rematerializes
+    # everything (min HBM); 'dots' = dots_with_no_batch_dims_saveable keeps
+    # matmul outputs (no matmul recompute in bwd — trades HBM for MFU, fits
+    # XL-2 b1 on one v5e, BENCH.md train table)
+    remat_policy: str = "full"
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -374,7 +379,10 @@ class PixArt(nn.Module):
 
         block_cls = PixArtBlock
         if self.grad_checkpoint:
-            block_cls = nn.remat(PixArtBlock, static_argnums=(5,))
+            policy = None
+            if self.remat_policy == "dots":
+                policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            block_cls = nn.remat(PixArtBlock, static_argnums=(5,), policy=policy)
 
         def make_block(i, name=None):
             sr = (

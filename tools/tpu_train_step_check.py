@@ -83,7 +83,8 @@ def timed_dmd(args):
     dit = PixArt(
         input_size=hw, patch_size=2, hidden_size=hidden, depth=depth,
         num_heads=heads, caption_channels=4096, model_max_length=L,
-        grad_checkpoint=True, dtype=jnp.bfloat16,
+        grad_checkpoint=True, remat_policy=args.remat_policy,
+        dtype=jnp.bfloat16,
     )
     sched = make_schedule("linear", 1000)
     y = jax.random.normal(jax.random.key(9), (b, L, 4096)) * 0.1
@@ -173,8 +174,8 @@ def timed_dmd(args):
         "train_mfu": round(mfu, 4),
         "step_tflops": round(step_flops / 1e12, 2),
         "hbm_peak_gib": round(peak_gb, 2),
-        "config": "AdamW bf16 moments, EMA bf16, teacher bf16 CFG3, remat, "
-                  "bf16 compute",
+        "config": "AdamW bf16 moments, EMA bf16, teacher bf16 CFG3, remat "
+                  f"policy={args.remat_policy}, bf16 compute",
     }
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "BENCH_train.json")
@@ -191,6 +192,7 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--skip_full", action="store_true")
     ap.add_argument("--hidden", type=int, default=1152)
+    ap.add_argument("--remat_policy", default="full", choices=["full", "dots"])
     ap.add_argument("--latent_hw", type=int, default=64)
     ap.add_argument("--timed_dmd", action="store_true",
                     help="full two-model XL-2 DMD train-step benchmark "
