@@ -242,3 +242,38 @@ def test_train_state_ema_dtype_bf16():
     st2 = st.apply_gradients({"w": jnp.ones((4, 4))})
     assert st2.ema_params["w"].dtype == jnp.bfloat16
     assert np.isfinite(np.asarray(st2.ema_params["w"], np.float32)).all()
+
+
+def test_save_restore_with_lowmem_optimizer(tmp_path):
+    """Full-state checkpoint round-trip with AdamWLowMemState (bf16
+    moments) + bf16 EMA — the --lowmem production config must resume
+    bitwise like the default one."""
+    import jax
+    import jax.numpy as jnp
+
+    from instarevive_tpu.train.checkpoint import restore_train_state, save_train_state
+    from instarevive_tpu.train.optim import build_optimizer, constant_with_warmup
+    from instarevive_tpu.train.state import TrainState
+
+    tx = build_optimizer("adamw", constant_with_warmup(1e-3, 5),
+                         grad_clip_norm=1.0, moment_dtype=jnp.bfloat16)
+    params = {"w": jnp.linspace(0, 1, 16).reshape(4, 4)}
+    st = TrainState.create(params, tx, ema=True, ema_dtype=jnp.bfloat16)
+    for i in range(3):
+        st = st.apply_gradients({"w": jnp.full((4, 4), 0.1 * (i + 1))})
+    key = jax.random.key(7)
+    path = str(tmp_path / "ck")
+    save_train_state(path, (st,), key, step_i=3)
+
+    fresh = TrainState.create(params, tx, ema=True, ema_dtype=jnp.bfloat16)
+    (restored,), rkey, step_i = restore_train_state(path, (fresh,), jax.random.key(0))
+    assert step_i == 3
+    assert restored.opt_state[-1].mu["w"].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                  np.asarray(st.params["w"]))
+    np.testing.assert_array_equal(
+        np.asarray(restored.ema_params["w"], np.float32),
+        np.asarray(st.ema_params["w"], np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(restored.opt_state[-1].nu["w"], np.float32),
+        np.asarray(st.opt_state[-1].nu["w"], np.float32))
