@@ -136,3 +136,31 @@ def test_grad_accum_matches_big_batch():
     np.testing.assert_allclose(
         np.asarray(s1.params["w"]), np.asarray(s2.params["w"]), atol=1e-6
     )
+
+
+def test_constrain_batch_emits_sharding_under_mesh():
+    """Regression guard for the round-1/2 silent no-op: get_abstract_mesh
+    never sees `with mesh:` (jax 0.9), so constrain_batch must detect the
+    ambient mesh via thread_resources — assert the lowered HLO actually
+    carries the constraint, not just that nothing crashed."""
+    import jax
+    import jax.numpy as jnp
+
+    from instarevive_tpu.parallel.mesh import constrain_batch, make_mesh, replicate_grad
+
+    mesh = make_mesh(data=4, fsdp=2, devices=jax.devices()[:8])
+    with mesh:
+        txt = jax.jit(constrain_batch).lower(jnp.zeros((8, 4))).as_text()
+    assert "sharding" in txt and ("data" in txt or "devices=[8" in txt), txt[:500]
+
+    # replicate_grad: identity fwd, constrained cotangent in bwd
+    def f(x):
+        return (replicate_grad(x) * 2.0).sum()
+
+    with mesh:
+        txt = jax.jit(jax.grad(f)).lower(jnp.zeros((8, 4))).as_text()
+    assert "sharding" in txt, txt[:500]
+
+    # and OUTSIDE a mesh both are clean no-ops
+    out = jax.jit(constrain_batch)(jnp.ones((8, 4)))
+    assert float(out.sum()) == 32.0
