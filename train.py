@@ -41,6 +41,10 @@ def parse_args():
                    help="HBM-fit knobs for single-chip XL-2 DMD: bf16 "
                         "optimizer moments, bf16 EMA shadow, bf16 frozen "
                         "teacher (BENCH.md train table config)")
+    p.add_argument("--remat_policy", default=None, choices=["full", "dots"],
+                   help="DiT block remat policy for --task dmd (default: "
+                        "config value; 'dots' saves matmul outputs — the "
+                        "BENCH.md fast-train config)")
     p.add_argument("--fsdp", type=int, default=1)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--maxt", type=int, default=400)
@@ -117,6 +121,17 @@ def main():
     logger.info(f"devices: {jax.devices()}  task: {args.task}")
 
     cfg = load_config(args.config)
+    if args.task == "dmd":
+        # remat on the DiT blocks is what makes the XL-2 DMD step fit one
+        # chip (BENCH.md train table); 'dots' keeps matmul outputs
+        # (checkpoint_policies.dots_with_no_batch_dims_saveable) — measured
+        # -7.5% step time vs full remat for ~0.6 GiB extra b1 activations
+        dit_cfg = dict(cfg.get("dit", {}) or {})
+        dit_cfg.setdefault("grad_checkpoint", True)
+        if args.remat_policy is not None:
+            dit_cfg["remat_policy"] = args.remat_policy
+        cfg = dict(cfg)
+        cfg["dit"] = dit_cfg
     pipe = build_pipeline(cfg)
     mesh = make_mesh(fsdp=args.fsdp)
     # cldm/reflow bring their own UNet denoiser — don't pay the DiT init
