@@ -6,12 +6,20 @@ embed 180, 8 RSTB x 6 blocks, window 8, mlp_ratio 2, ``nearest+conv``
 upsampler x8 — net 1x resolution (a cleaner, not an upscaler).
 
 TPU design notes:
-  * images stay NHWC; window partition is reshape/transpose (no gather),
-    attention over 64-token windows runs as one large batched MXU matmul;
-  * shifted windows use jnp.roll + a static additive mask computed at trace
-    time (ops/window.py) — no data-dependent control flow under jit;
-  * relative-position bias is gathered once per block per shape and folded
-    into the attention bias.
+  * images stay NHWC; tokens are WINDOW-RESIDENT across each RSTB: the
+    6D-transpose window partition/reverse happens ONCE per group, not per
+    block (the per-block layout copies were ~50% of the stage's device
+    time, BENCH.md round-3 trace);
+  * shifted windows never leave window layout — the cyclic roll-in/out is
+    two static token-permutation gathers (ops/window.py
+    shift_window_perm) + a static additive mask computed at trace time;
+    no data-dependent control flow under jit;
+  * attention runs straight from the fused qkv lanes via dot_general
+    batch dims ((B*nW, N, heads, hd) without head-split transposes), and
+    the head merge is folded into the proj matmul — zero pure layout ops
+    on the hot path;
+  * relative-position bias is gathered lane-wise as (heads, N, N) (no
+    (N, N, heads) transpose).
 """
 
 from __future__ import annotations
@@ -19,19 +27,42 @@ from __future__ import annotations
 from typing import Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from instarevive_tpu.nn.layers import Mlp, trunc_normal_init, pixel_unshuffle
-from instarevive_tpu.ops.attention import sdpa
 from instarevive_tpu.ops import window as W
 from instarevive_tpu.ops.resize import interpolate
 
 _RGB_MEAN = np.array([0.4488, 0.4371, 0.4040], dtype=np.float32)
 
 
+class _DenseParams(nn.Module):
+    """Param holder matching nn.Dense's tree (kernel/bias, same init), for
+    matmuls whose dimension numbers nn.Dense can't express."""
+
+    features_in: int
+    features_out: int
+
+    @nn.compact
+    def __call__(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.features_in, self.features_out),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features_out,))
+        return k, b
+
+
 class WindowAttention(nn.Module):
-    """W-MSA with relative position bias (swinir.py:76-174)."""
+    """W-MSA with relative position bias (swinir.py:76-174).
+
+    Operates on windowed tokens (B*nW, N, C). Matches ``ops.attention.sdpa``
+    numerics (f32 scores/softmax/PV) but is expressed transpose-free: q/k/v
+    stay (B_, N, heads, hd) lane slices of the fused qkv projection
+    (dot_general batch dims do the head bookkeeping), and the (heads, hd)
+    -> C merge is folded into the proj matmul's contraction."""
 
     dim: int
     window: int
@@ -39,14 +70,16 @@ class WindowAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask=None):
-        # x: (nW*B, N, C); mask: (nW, N, N) static np array or None
+    def __call__(self, x, mask=None, batch: int = 1):
+        # x: (B*nW, N, C); mask: (nW, N, N) static np array or None
         b_, n, c = x.shape
         h = self.num_heads
         hd = c // h
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(b_, n, 3, h, hd)
-        q, k, v = [jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3)]
+        # lane slices == reshape(b_, n, 3, h, hd) then index axis 2
+        q = qkv[..., :c].reshape(b_, n, h, hd)
+        k = qkv[..., c : 2 * c].reshape(b_, n, h, hd)
+        v = qkv[..., 2 * c :].reshape(b_, n, h, hd)
 
         table = self.param(
             "relative_position_bias_table",
@@ -54,21 +87,43 @@ class WindowAttention(nn.Module):
             ((2 * self.window - 1) ** 2, h),
         )
         idx = W.relative_position_index(self.window)  # (N, N) static
-        bias = table[idx.reshape(-1)].reshape(n, n, h)
-        bias = jnp.transpose(bias, (2, 0, 1))[None]  # (1, H, N, N)
+        # (heads, N, N) gathered lane-wise — no (N, N, heads) transpose
+        bias = jnp.take(table.T, jnp.asarray(idx.reshape(-1)), axis=1)
+        bias = bias.reshape(h, n, n).astype(jnp.float32)
 
+        scores = jax.lax.dot_general(
+            q, k, (((3,), (3,)), ((0, 2), (0, 2))),
+            preferred_element_type=jnp.float32,
+        )  # (B_, heads, N, N)
+        scores = scores * (hd**-0.5) + bias[None]
         if mask is not None:
             nw = mask.shape[0]
-            m = jnp.asarray(mask)[:, None]  # (nW, 1, N, N)
-            bias = bias + jnp.tile(m, (b_ // nw, 1, 1, 1))
+            m = jnp.asarray(mask)  # (nW, N, N)
+            scores = scores.reshape(batch, nw, h, n, n) + m[None, :, None]
+            scores = scores.reshape(b_, h, n, n)
+        probs = jax.nn.softmax(scores, axis=-1)  # f32, as sdpa
+        out = jax.lax.dot_general(
+            probs, v.astype(jnp.float32),
+            (((3,), (1,)), ((0, 1), (0, 2))),
+            preferred_element_type=jnp.float32,
+        )  # (B_, heads, N, hd)
 
-        out = sdpa(q, k, v, bias=bias, scale=hd**-0.5)
-        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b_, n, c)
-        return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+        wk, wb = _DenseParams(c, c, name="proj")()
+        # proj consumes (heads, hd) directly: out @ wk.reshape(h, hd, c)
+        y = jax.lax.dot_general(
+            out.astype(self.dtype),
+            wk.reshape(h, hd, c).astype(self.dtype),
+            (((1, 3), (0, 1)), ((), ())),
+        )  # (B_, N, C)
+        return y + wb.astype(self.dtype)
 
 
 class SwinBlock(nn.Module):
-    """Swin transformer block on NHWC feature maps (swinir.py:175-310)."""
+    """Swin transformer block on window-resident tokens (swinir.py:175-310).
+
+    Input/output: (B, H*W, C) in window layout (window-major, row-major
+    within each window). LayerNorm/attention/MLP are per-token, so only
+    the shifted blocks touch layout — via two static permutation gathers."""
 
     dim: int
     num_heads: int
@@ -78,24 +133,26 @@ class SwinBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        b, h, w, c = x.shape
+    def __call__(self, x, h: int, w: int):
+        b, t, c = x.shape
+        n = self.window * self.window
+        nw = t // n
         shift = self.shift if min(h, w) > self.window else 0
 
         shortcut = x
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         if shift > 0:
-            x = W.cyclic_shift(x, shift)
+            perm, inv = W.shift_window_perm(h, w, self.window, shift)
+            x = jnp.take(x, jnp.asarray(perm), axis=1)
             mask = W.shift_attn_mask(h, w, self.window, shift)
         else:
             mask = None
-        xw = W.window_partition(x, self.window)
-        xw = WindowAttention(self.dim, self.window, self.num_heads, self.dtype, name="attn")(
-            xw, mask
-        )
-        x = W.window_reverse(xw, self.window, h, w)
+        xw = WindowAttention(
+            self.dim, self.window, self.num_heads, self.dtype, name="attn"
+        )(x.reshape(b * nw, n, c), mask, batch=b)
+        x = xw.reshape(b, t, c)
         if shift > 0:
-            x = W.cyclic_unshift(x, shift)
+            x = jnp.take(x, jnp.asarray(inv), axis=1)
         x = shortcut + x
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         x = x + Mlp(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp")(y)
@@ -103,7 +160,11 @@ class SwinBlock(nn.Module):
 
 
 class RSTB(nn.Module):
-    """Residual Swin Transformer Block group (swinir.py:311-417)."""
+    """Residual Swin Transformer Block group (swinir.py:311-417).
+
+    Partitions into window layout ONCE, runs the whole block stack there,
+    and reverses once for the trailing conv — the per-block 6D transposes
+    of the naive lowering disappear."""
 
     dim: int
     depth: int
@@ -114,9 +175,12 @@ class RSTB(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        b, h, w, c = x.shape
         res = x
+        n = self.window * self.window
+        xw = W.window_partition(x, self.window).reshape(b, h * w, c)
         for i in range(self.depth):
-            x = SwinBlock(
+            xw = SwinBlock(
                 self.dim,
                 self.num_heads,
                 self.window,
@@ -124,7 +188,8 @@ class RSTB(nn.Module):
                 mlp_ratio=self.mlp_ratio,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
-            )(x)
+            )(xw, h, w)
+        x = W.window_reverse(xw.reshape(b * (h * w) // n, n, c), self.window, h, w)
         x = nn.Conv(self.dim, (3, 3), padding="SAME", dtype=self.dtype, name="conv")(x)
         return x + res
 

@@ -62,6 +62,42 @@ def shift_attn_mask(h: int, w: int, window: int, shift: int) -> np.ndarray:
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
 
 
+@lru_cache(maxsize=64)
+def shift_window_perm(h: int, w: int, window: int, shift: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Token permutations realizing the cyclic shift IN window layout.
+
+    Let ``win(x) = window_partition(x, window).reshape(B, H*W, C)`` (tokens
+    ordered window-major, row-major within each window). Returns static
+    int32 ``(perm, inv)`` with
+
+        win(roll(x, (-shift, -shift)))  ==  win(x)[:, perm]
+        win(roll(x, (+shift, +shift)))  ==  win(x)[:, inv]
+
+    so a shifted Swin block never leaves window layout: the roll-in/out
+    pair becomes two gathers instead of window_reverse -> jnp.roll ->
+    window_partition (three full-tensor strided copies each way). Math
+    parity with the reference's torch.roll path (swinir.py:230-259) is
+    pinned by tests/test_swinir.py.
+    """
+    sp = np.arange(h * w).reshape(h, w)
+
+    def to_win(a: np.ndarray) -> np.ndarray:
+        return (
+            a.reshape(h // window, window, w // window, window)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1)
+        )
+
+    base = to_win(sp)  # window-layout position -> spatial flat id
+    pos_of_spatial = np.empty(h * w, np.int64)
+    pos_of_spatial[base] = np.arange(h * w)
+    rolled = to_win(np.roll(sp, (-shift, -shift), axis=(0, 1)))
+    perm = pos_of_spatial[rolled].astype(np.int32)
+    inv = np.empty(h * w, np.int32)
+    inv[perm] = np.arange(h * w, dtype=np.int32)
+    return perm, inv
+
+
 def cyclic_shift(x: jnp.ndarray, shift: int) -> jnp.ndarray:
     """Roll H and W by -shift (NHWC)."""
     return jnp.roll(x, (-shift, -shift), axis=(1, 2))
