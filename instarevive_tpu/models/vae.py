@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from instarevive_tpu.ops.attention import attention
 from instarevive_tpu.ops.conv_fused import fused_upsample_enabled, upsample2x_conv3x3
+from instarevive_tpu.ops.gn_conv import gn_conv_enabled, gn_silu_conv3x3
 from instarevive_tpu.ops.resize import interpolate
 
 
@@ -30,18 +31,64 @@ def _gn(name: str, dtype=None):
     return nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=dtype, name=name)
 
 
+class _GNParams(nn.Module):
+    """nn.GroupNorm's param tree (scale/bias, same init) without its
+    compute — the fused GN+conv kernel consumes the raw params."""
+
+    feats: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.feats,)),
+            self.param("bias", nn.initializers.zeros, (self.feats,)),
+        )
+
+
+class _ConvParams(nn.Module):
+    """nn.Conv's 3x3 param tree (kernel/bias, same init), compute-free."""
+
+    cin: int
+    cout: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("kernel", nn.initializers.lecun_normal(), (3, 3, self.cin, self.cout)),
+            self.param("bias", nn.initializers.zeros, (self.cout,)),
+        )
+
+
 class ResnetBlock(nn.Module):
     out_ch: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        h = _gn("norm1", self.dtype)(x)
-        h = nn.silu(h)
-        h = nn.Conv(self.out_ch, (3, 3), padding="SAME", dtype=self.dtype, name="conv1")(h)
-        h = _gn("norm2", self.dtype)(h)
-        h = nn.silu(h)
-        h = nn.Conv(self.out_ch, (3, 3), padding="SAME", dtype=self.dtype, name="conv2")(h)
+        cin = x.shape[-1]
+        fused = (
+            gn_conv_enabled()
+            and cin % 128 == 0
+            and self.out_ch % 128 == 0
+            and x.shape[1] >= 4
+        )
+        if fused:
+            # GN+SiLU+conv as ONE Pallas kernel (ops/gn_conv.py): the
+            # normalized tensor never round-trips HBM. Param tree is
+            # identical to the unfused path — checkpoints interchange.
+            g1, b1 = _GNParams(cin, name="norm1")()
+            k1, cb1 = _ConvParams(cin, self.out_ch, name="conv1")()
+            h = gn_silu_conv3x3(x, g1, b1, k1, cb1)
+            g2, b2 = _GNParams(self.out_ch, name="norm2")()
+            k2, cb2 = _ConvParams(self.out_ch, self.out_ch, name="conv2")()
+            h = gn_silu_conv3x3(h, g2, b2, k2, cb2)
+        else:
+            h = _gn("norm1", self.dtype)(x)
+            h = nn.silu(h)
+            h = nn.Conv(self.out_ch, (3, 3), padding="SAME", dtype=self.dtype, name="conv1")(h)
+            h = _gn("norm2", self.dtype)(h)
+            h = nn.silu(h)
+            h = nn.Conv(self.out_ch, (3, 3), padding="SAME", dtype=self.dtype, name="conv2")(h)
         if x.shape[-1] != self.out_ch:
             x = nn.Conv(self.out_ch, (1, 1), dtype=self.dtype, name="nin_shortcut")(x)
         return x + h

@@ -1,0 +1,271 @@
+"""Fused GroupNorm + SiLU + 3x3 SAME conv as ONE Pallas kernel (TPU).
+
+Why: every VAE/UNet ResnetBlock (reference ldm/modules/diffusionmodules/
+model.py:116-180: ``h = conv(nonlinearity(norm(x)))`` twice per block)
+makes XLA materialize the normalized+SiLU'd tensor in HBM before the conv
+reads it back — at the 512^2 decode stage that intermediate is 64 MB per
+tensor and the elementwise round trips are ~20% of decode device time
+(BENCH.md round-3 stage table; the standalone Pallas GN kernels in
+ops/norm_kernels.py measured *neutral* because swapping only the GN left
+a layout barrier between XLA conv fusions — the fix is fusing the GN/SiLU
+*into* the conv, which this kernel does).
+
+Dataflow per grid step (one row-strip of one sample):
+
+  HBM: x strip (+1-row halos)  ──DMA──►  VMEM
+  VMEM: y = silu(x * a + b)    (a = gamma*rstd, b = beta - mean*a —
+                                the per-(sample,channel) GN affine,
+                                precomputed from one cheap XLA stats pass)
+  VMEM: out = sum_{dy,dx} y[dy:,dx:,:] @ w[dy,dx]   (9 MXU matmuls,
+                                f32 accumulation == the 3x3 SAME conv)
+  VMEM ──► HBM: out strip
+
+The normalized tensor never exists in HBM. SAME zero-padding is honored
+exactly: the halo rows/columns outside the image are ZERO (the reference
+pads the conv *input*, i.e. the silu output, with zeros — not
+silu(affine(0))), masked via @pl.when at the first/last strip.
+
+Backward: a jax.custom_vjp recomputes the reference composition under
+jax.vjp — the kernel is inference-fast, gradients are exact (VAE weights
+are frozen in every reference training recipe; grads only flow through
+decode/encode in eval-style losses).
+
+Parity: tests/test_gn_conv.py pins the kernel (interpret mode on CPU) to
+the reference composition at every decoder stage geometry.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["gn_silu_conv3x3", "gn_conv_enabled"]
+
+
+# ------------------------------------------------------------- reference path
+
+
+def _reference(x, gamma, beta, w, bias, groups, eps):
+    """silu(GroupNorm(x)) -> conv3x3 SAME, matching flax nn.GroupNorm
+    (f32 stats) + nn.Conv semantics. Used off-TPU and as the VJP math."""
+    n, h, ww, c = x.shape
+    cg = c // groups
+    xf = x.astype(jnp.float32).reshape(n, h * ww, groups, cg)
+    mean = xf.mean(axis=(1, 3), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y.reshape(n, h, ww, c) * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    y = (y * jax.nn.sigmoid(y)).astype(x.dtype)
+    out = jax.lax.conv_general_dilated(
+        y, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out + bias
+
+
+def _gn_affine(x, gamma, beta, groups, eps):
+    """Per-(sample, channel) affine folding the GN statistics:
+    y = x*a + b  ==  (x - mean) * rstd * gamma + beta. One fused XLA read."""
+    n, h, w, c = x.shape
+    cg = c // groups
+    xf = x.astype(jnp.float32).reshape(n, h * w, groups, cg)
+    mean = xf.mean(axis=(1, 3))  # (N, G)
+    var = jnp.mean(jnp.square(xf), axis=(1, 3)) - jnp.square(mean)
+    rstd = jax.lax.rsqrt(var + eps)
+    rstd_c = jnp.repeat(rstd, cg, axis=1)  # (N, C)
+    mean_c = jnp.repeat(mean, cg, axis=1)
+    a = gamma.astype(jnp.float32)[None] * rstd_c
+    b = beta.astype(jnp.float32)[None] - mean_c * a
+    return a, b
+
+
+# ------------------------------------------------------------------- kernel
+
+
+def _kernel(a_ref, b_ref, x_ref, top_ref, bot_ref, w_ref, bias_ref, o_ref,
+            scratch, *, th: int):
+    i = pl.program_id(1)
+    nst = pl.num_programs(1)
+    a = a_ref[0]  # (C,) f32
+    b = b_ref[0]
+    w = x_ref.shape[2]
+
+    c = scratch.shape[2]
+
+    def norm(t):  # (..., C) -> silu(t*a+b) in compute dtype
+        y = t.astype(jnp.float32) * a + b
+        return (y * jax.nn.sigmoid(y)).astype(scratch.dtype)
+
+    # SAME zero padding: left/right columns always zero; top/bottom rows
+    # zero at the image boundary, else the normalized halo row.
+    scratch[:, 0, :] = jnp.zeros((th + 2, c), scratch.dtype)
+    scratch[:, w + 1, :] = jnp.zeros((th + 2, c), scratch.dtype)
+    scratch[1 : th + 1, 1 : w + 1, :] = norm(x_ref[0])
+
+    @pl.when(i > 0)
+    def _():
+        scratch[0, 1 : w + 1, :] = norm(top_ref[0, 0])
+
+    @pl.when(i == 0)
+    def _():
+        scratch[0, :, :] = jnp.zeros((w + 2, c), scratch.dtype)
+
+    @pl.when(i < nst - 1)
+    def _():
+        scratch[th + 1, 1 : w + 1, :] = norm(bot_ref[0, 0])
+
+    @pl.when(i == nst - 1)
+    def _():
+        scratch[th + 1, :, :] = jnp.zeros((w + 2, c), scratch.dtype)
+
+    co = o_ref.shape[3]
+    acc = jnp.zeros((th, w, co), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            patch = scratch[dy : dy + th, dx : dx + w, :]
+            acc += jax.lax.dot_general(
+                patch, w_ref[dy, dx],
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    o_ref[0] = (acc + bias_ref[0]).astype(o_ref.dtype)
+
+
+def _pick_th(h: int, w: int, c: int, co: int) -> int:
+    # VMEM budget ~12 MB: strip + double-buffered in/out + f32 accum + weights
+    weights = 9 * c * co * 2
+    budget = 12 * 1024 * 1024 - weights
+    per_row = w * (c * 2 * 3 + co * (4 + 2 * 2))  # strip+x(2buf), acc+out(2buf)
+    th = max(1, min(h, budget // max(per_row, 1)))
+    while h % th:
+        th -= 1
+    return th
+
+
+@functools.partial(
+    jax.jit, static_argnames=("groups", "eps", "interpret", "th")
+)
+def _fused_call(x, gamma, beta, w, bias, groups, eps, interpret=False, th=None):
+    n, h, ww, c = x.shape
+    co = w.shape[3]
+    a, b = _gn_affine(x, gamma, beta, groups, eps)
+    th = th or _pick_th(h, ww, c, co)
+    grid = (n, h // th)
+
+    def clamp_top(bb, i):
+        return (bb, jnp.maximum(i * th - 1, 0), 0, 0)
+
+    def clamp_bot(bb, i):
+        return (bb, jnp.minimum(i * th + th, h - 1), 0, 0)
+
+    return pl.pallas_call(
+        functools.partial(_kernel, th=th),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, c), lambda bb, i: (bb, 0)),  # a
+            pl.BlockSpec((1, c), lambda bb, i: (bb, 0)),  # b
+            pl.BlockSpec((1, th, ww, c), lambda bb, i: (bb, i, 0, 0)),  # x strip
+            pl.BlockSpec((1, 1, ww, c), clamp_top),  # top halo row
+            pl.BlockSpec((1, 1, ww, c), clamp_bot),  # bottom halo row
+            pl.BlockSpec((3, 3, c, co), lambda bb, i: (0, 0, 0, 0)),  # weights
+            pl.BlockSpec((1, co), lambda bb, i: (0, 0)),  # bias
+        ],
+        out_specs=pl.BlockSpec((1, th, ww, co), lambda bb, i: (bb, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, h, ww, co), x.dtype),
+        scratch_shapes=[pltpu.VMEM((th + 2, ww + 2, c), x.dtype)],
+        interpret=interpret,
+    )(a, b, x, x, x, w.astype(x.dtype), bias.reshape(1, co).astype(jnp.float32))
+
+
+# ------------------------------------------------------- public entry + vjp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _gn_silu_conv3x3(x, gamma, beta, w, bias, groups, eps, interpret, th):
+    return _fused_call(x, gamma, beta, w, bias, groups, eps, interpret=interpret, th=th)
+
+
+def _fwd(x, gamma, beta, w, bias, groups, eps, interpret, th):
+    return _gn_silu_conv3x3(x, gamma, beta, w, bias, groups, eps, interpret, th), (
+        x, gamma, beta, w, bias,
+    )
+
+
+def _bwd(groups, eps, interpret, th, res, g):
+    # exact gradients via the reference composition (recompute-in-backward;
+    # the kernel itself stays forward-only)
+    x, gamma, beta, w, bias = res
+    _, vjp = jax.vjp(
+        lambda *args: _reference(*args, groups=groups, eps=eps),
+        x, gamma, beta, w, bias,
+    )
+    return vjp(g)
+
+
+_gn_silu_conv3x3.defvjp(_fwd, _bwd)
+
+
+_ENV = "IR_GN_CONV"
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def gn_conv_enabled(interpret: Optional[bool] = None) -> bool:
+    """Fused GN+SiLU+conv kernel gate. Default: on for TPU, off elsewhere;
+    IR_GN_CONV=0/1 forces; IR_GN_CONV_INTERPRET=1 enables the interpret
+    kernel on CPU (tests)."""
+    env = os.environ.get(_ENV)
+    if env is not None:
+        return env not in ("0", "false", "off")
+    if interpret or os.environ.get("IR_GN_CONV_INTERPRET") == "1":
+        return True
+    return _on_tpu()
+
+
+def gn_interpret() -> bool:
+    return os.environ.get("IR_GN_CONV_INTERPRET") == "1" and not _on_tpu()
+
+
+def gn_silu_conv3x3(
+    x: jnp.ndarray,
+    gamma: jnp.ndarray,
+    beta: jnp.ndarray,
+    w: jnp.ndarray,
+    bias: jnp.ndarray,
+    groups: int = 32,
+    eps: float = 1e-6,
+    interpret: Optional[bool] = None,
+    th: Optional[int] = None,
+) -> jnp.ndarray:
+    """conv3x3_SAME(silu(GroupNorm(x; gamma, beta)), w) + bias, fused.
+
+    x: (N, H, W, C) NHWC; w: (3, 3, C, Co) HWIO; gamma/beta: (C,);
+    bias: (Co,). Matches flax ``nn.GroupNorm(groups, eps)`` -> ``nn.silu``
+    -> ``nn.Conv(Co, (3,3), SAME)`` (reference model.py:116-180 ResnetBlock
+    halves). Dispatches to the fused Pallas kernel when eligible, else the
+    plain XLA composition.
+    """
+    n, h, ww, c = x.shape
+    co = w.shape[3]
+    it = interpret if interpret is not None else gn_interpret()
+    eligible = (
+        c % 128 == 0
+        and co % 128 == 0
+        and c % groups == 0
+        and h >= 4
+        and (it or _on_tpu())
+    )
+    if not eligible:
+        return _reference(x, gamma, beta, w, bias, groups, eps)
+    return _gn_silu_conv3x3(x, gamma, beta, w, bias, groups, eps, bool(it), th)
