@@ -32,6 +32,21 @@ decode/encode in eval-style losses).
 
 Parity: tests/test_gn_conv.py pins the kernel (interpret mode on CPU) to
 the reference composition at every decoder stage geometry.
+
+STATUS (v5e, measured round 3): NEGATIVE, default OFF (IR_GN_CONV=1 to
+opt in). Three formulations of the conv all landed ~30% below the XLA
+default end-to-end (batch-4 512^2 bench, XLA baseline 6.06 MP/s):
+  1. 3D windowed slices, 9 (th,W,C)x(C,Co) dots       -> 4.34 MP/s
+  2. flattened strip, 9 contiguous-slice (th*P,C) GEMMs -> 4.29 MP/s
+  3. in-VMEM im2col, ONE deep-K (th*P,9C)x(9C,Co) GEMM  -> 4.16 MP/s
+(1. first OOM'd the 16 MB scoped VMEM at 512^2/c256 — _pick_th now
+models usage exactly.) The device trace shows the fused calls running
+near XLA's conv throughput in isolation; the loss is structural around
+the custom-call boundary (XLA fusion/pipelining breaks at every pallas
+call: nin_shortcut/residual-add/next-stats no longer fuse, and Mosaic's
+sublane-misaligned strip copies pay per-tile realignment). The XLA
+default path (flax GroupNorm -> silu -> lax.conv, fully fused by XLA)
+remains the production configuration.
 """
 
 from __future__ import annotations
@@ -89,61 +104,77 @@ def _gn_affine(x, gamma, beta, groups, eps):
 
 
 def _kernel(a_ref, b_ref, x_ref, top_ref, bot_ref, w_ref, bias_ref, o_ref,
-            scratch, *, th: int):
+            scratch, cols, *, th: int):
     i = pl.program_id(1)
     nst = pl.num_programs(1)
     a = a_ref[0]  # (C,) f32
     b = b_ref[0]
     w = x_ref.shape[2]
-
-    c = scratch.shape[2]
+    c = x_ref.shape[3]
+    co = o_ref.shape[3]
+    p = w + 4  # padded row: [garbage, zero, real 0..w-1, zero, garbage]
 
     def norm(t):  # (..., C) -> silu(t*a+b) in compute dtype
         y = t.astype(jnp.float32) * a + b
         return (y * jax.nn.sigmoid(y)).astype(scratch.dtype)
 
-    # SAME zero padding: left/right columns always zero; top/bottom rows
-    # zero at the image boundary, else the normalized halo row.
-    scratch[:, 0, :] = jnp.zeros((th + 2, c), scratch.dtype)
-    scratch[:, w + 1, :] = jnp.zeros((th + 2, c), scratch.dtype)
-    scratch[1 : th + 1, 1 : w + 1, :] = norm(x_ref[0])
+    # The strip lives FLATTENED in scratch as ((th+2)*P, C), row-major with
+    # padded width P = W+4: every conv tap (dy, dx) is then a CONTIGUOUS 2D
+    # slice flat[dy*P+dx : dy*P+dx + th*P]. The 9 taps are gathered into an
+    # im2col buffer ``cols`` (th*P, 9C) so the conv is ONE deep-K MXU
+    # matmul — 9 separate K=C matmuls measured ~2x below XLA's conv
+    # efficiency, and the 3D-windowed version before that was no better
+    # (BENCH.md round 3). Zero-memset covers SAME padding + boundary halo
+    # rows in one shot.
+    scratch[...] = jnp.zeros(scratch.shape, scratch.dtype)
+    xs = norm(x_ref[0])  # (th, W, C)
+    for y in range(th):
+        scratch[(y + 1) * p + 2 : (y + 1) * p + 2 + w] = xs[y]
 
     @pl.when(i > 0)
     def _():
-        scratch[0, 1 : w + 1, :] = norm(top_ref[0, 0])
-
-    @pl.when(i == 0)
-    def _():
-        scratch[0, :, :] = jnp.zeros((w + 2, c), scratch.dtype)
+        scratch[2 : 2 + w] = norm(top_ref[0, 0])
 
     @pl.when(i < nst - 1)
     def _():
-        scratch[th + 1, 1 : w + 1, :] = norm(bot_ref[0, 0])
+        scratch[(th + 1) * p + 2 : (th + 1) * p + 2 + w] = norm(bot_ref[0, 0])
 
-    @pl.when(i == nst - 1)
-    def _():
-        scratch[th + 1, :, :] = jnp.zeros((w + 2, c), scratch.dtype)
-
-    co = o_ref.shape[3]
-    acc = jnp.zeros((th, w, co), jnp.float32)
     for dy in range(3):
         for dx in range(3):
-            patch = scratch[dy : dy + th, dx : dx + w, :]
-            acc += jax.lax.dot_general(
-                patch, w_ref[dy, dx],
-                (((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-    o_ref[0] = (acc + bias_ref[0]).astype(o_ref.dtype)
+            j = dy * 3 + dx
+            cols[:, j * c : (j + 1) * c] = scratch[dy * p + dx : dy * p + dx + th * p]
+    acc = jax.lax.dot_general(
+        cols[...], w_ref[...],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (th*P, Co)
+    out = (acc + bias_ref[0]).reshape(th, p, co)
+    # out_pad column xp holds the conv centered at scratch col xp+1, i.e.
+    # real output x = xp-1; columns 0 and > w are padding garbage.
+    o_ref[0] = out[:, 1 : w + 1].astype(o_ref.dtype)
 
 
-def _pick_th(h: int, w: int, c: int, co: int) -> int:
-    # VMEM budget ~12 MB: strip + double-buffered in/out + f32 accum + weights
-    weights = 9 * c * co * 2
-    budget = 12 * 1024 * 1024 - weights
-    per_row = w * (c * 2 * 3 + co * (4 + 2 * 2))  # strip+x(2buf), acc+out(2buf)
-    th = max(1, min(h, budget // max(per_row, 1)))
-    while h % th:
+def _vmem_usage(th: int, w: int, c: int, co: int) -> int:
+    """Exact-ish scoped-VMEM model for one program (bf16 compute):
+    flattened scratch strip + im2col buffer + double-buffered x/halo/out
+    blocks + f32 accumulator + weights."""
+    p = w + 4
+    scratch = ((th + 2) * p + 4) * c * 2
+    im2col = th * p * 9 * c * 2
+    x_in = 2 * th * w * c * 2
+    halos = 2 * 2 * w * c * 2
+    out = 2 * th * w * co * 2
+    acc = th * p * co * 4
+    weights = 9 * c * co * 2  # constant index map — not revolved
+    return scratch + im2col + x_in + halos + out + acc + weights
+
+
+def _pick_th(h: int, w: int, c: int, co: int,
+             budget: int = 12 * 1024 * 1024) -> int:
+    # stay well under the 16 MB scoped-VMEM limit (the first TPU run OOM'd
+    # at 16.35M with a cruder model; see BENCH.md round 3)
+    th = h
+    while th > 1 and (h % th or _vmem_usage(th, w, c, co) > budget):
         th -= 1
     return th
 
@@ -173,14 +204,19 @@ def _fused_call(x, gamma, beta, w, bias, groups, eps, interpret=False, th=None):
             pl.BlockSpec((1, th, ww, c), lambda bb, i: (bb, i, 0, 0)),  # x strip
             pl.BlockSpec((1, 1, ww, c), clamp_top),  # top halo row
             pl.BlockSpec((1, 1, ww, c), clamp_bot),  # bottom halo row
-            pl.BlockSpec((3, 3, c, co), lambda bb, i: (0, 0, 0, 0)),  # weights
+            pl.BlockSpec((9 * c, co), lambda bb, i: (0, 0)),  # weights (9C, Co)
             pl.BlockSpec((1, co), lambda bb, i: (0, 0)),  # bias
         ],
         out_specs=pl.BlockSpec((1, th, ww, co), lambda bb, i: (bb, i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, h, ww, co), x.dtype),
-        scratch_shapes=[pltpu.VMEM((th + 2, ww + 2, c), x.dtype)],
+        scratch_shapes=[
+            pltpu.VMEM(((th + 2) * (ww + 4) + 4, c), x.dtype),
+            pltpu.VMEM((th * (ww + 4), 9 * c), x.dtype),
+        ],
         interpret=interpret,
-    )(a, b, x, x, x, w.astype(x.dtype), bias.reshape(1, co).astype(jnp.float32))
+    )(a, b, x, x, x,
+      w.astype(x.dtype).reshape(9 * c, co),
+      bias.reshape(1, co).astype(jnp.float32))
 
 
 # ------------------------------------------------------- public entry + vjp
@@ -222,15 +258,14 @@ def _on_tpu() -> bool:
 
 
 def gn_conv_enabled(interpret: Optional[bool] = None) -> bool:
-    """Fused GN+SiLU+conv kernel gate. Default: on for TPU, off elsewhere;
-    IR_GN_CONV=0/1 forces; IR_GN_CONV_INTERPRET=1 enables the interpret
-    kernel on CPU (tests)."""
+    """Fused GN+SiLU+conv kernel gate. DEFAULT OFF — measured NEGATIVE on
+    v5e across three kernel formulations (see the STATUS note in the
+    module docstring / BENCH.md round 3); IR_GN_CONV=1 opts in,
+    IR_GN_CONV_INTERPRET=1 enables the interpret kernel on CPU (tests)."""
     env = os.environ.get(_ENV)
     if env is not None:
         return env not in ("0", "false", "off")
-    if interpret or os.environ.get("IR_GN_CONV_INTERPRET") == "1":
-        return True
-    return _on_tpu()
+    return bool(interpret) or os.environ.get("IR_GN_CONV_INTERPRET") == "1"
 
 
 def gn_interpret() -> bool:
