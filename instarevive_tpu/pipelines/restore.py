@@ -88,7 +88,7 @@ class RestorationPipeline:
 
     # ---- model stage helpers (pure; params passed explicitly) -------------
 
-    def clean(self, params, img):
+    def clean(self, params, img, batched_stages: bool = False):
         """Stage-1 SwinIR degradation removal; [0,1]-ish NHWC in/out.
 
         NOT clamped: the reference encodes / color-fixes against the raw
@@ -103,11 +103,11 @@ class RestorationPipeline:
         def _clean(x):
             return self.swinir.apply({"params": params["swinir"]}, x)
 
-        if img.shape[0] == 1 or _batched_conv_stages():
+        if img.shape[0] == 1 or batched_stages or _batched_conv_stages():
             return _clean(img)
         return jax.lax.map(lambda xi: _clean(xi[None])[0], img)
 
-    def encode(self, params, img01):
+    def encode(self, params, img01, batched_stages: bool = False):
         """[0,1] image -> scaled latent (posterior mode), inference.py:106-109.
 
         Per-sample for batch > 1 (2.6x-per-image N>1 encoder conv-layout
@@ -119,7 +119,7 @@ class RestorationPipeline:
             )
             return z * VAE_SCALE
 
-        if img01.shape[0] == 1 or _batched_conv_stages():
+        if img01.shape[0] == 1 or batched_stages or _batched_conv_stages():
             return _enc(img01)
         if _packed_decode():
             from instarevive_tpu.ops.packed_vae import encode_mode_packed
@@ -134,7 +134,7 @@ class RestorationPipeline:
             return z * VAE_SCALE
         return jax.lax.map(lambda xi: _enc(xi[None])[0], img01)
 
-    def decode(self, params, z):
+    def decode(self, params, z, batched_stages: bool = False):
         """Scaled latent -> [0,1]-ish image, inference.py:117.
 
         NOT clamped: the reference clamps only the final composite — the
@@ -154,7 +154,7 @@ class RestorationPipeline:
             )
             return img / 2.0 + 0.5
 
-        if z.shape[0] == 1 or _batched_conv_stages():
+        if z.shape[0] == 1 or batched_stages or _batched_conv_stages():
             return _dec(z)
         if _packed_decode():
             # batch-in-channels grouped-conv program: exact, one N=1 conv
@@ -195,6 +195,7 @@ class RestorationPipeline:
         use_swinir: bool = True,
         color_fix: str = "wavelet",
         use_control: bool = False,
+        batched_stages: bool = False,
     ):
         """Non-tiled restoration of a x64-sized [0,1] NHWC batch.
 
@@ -204,12 +205,17 @@ class RestorationPipeline:
         inference.py:112-117 vs :146-149). Here the fix applies in both
         paths so tiled and non-tiled outputs agree; pass
         ``--color_fix_type none`` for bit-faithful reference behavior.
+
+        ``batched_stages=True`` skips the per-sample lax.map in the conv
+        stages — required under data-parallel sharding (jitted_sharded),
+        where lax.map over a sharded batch axis would serialize the mesh
+        and each device locally sees the fast b=1 conv shapes anyway.
         """
-        stage1 = self.clean(params, lq) if use_swinir else lq
-        z_init = self.encode(params, stage1)
+        stage1 = self.clean(params, lq, batched_stages) if use_swinir else lq
+        z_init = self.encode(params, stage1, batched_stages)
         c = z_init if use_control else None
         z0 = self.one_step(params, z_init, y, y_mask, c=c)
-        out = self.decode(params, z0)
+        out = self.decode(params, z0, batched_stages)
         if color_fix == "wavelet":
             out = wavelet_color_fix(out, stage1)
         elif color_fix == "adain":
@@ -335,3 +341,17 @@ class RestorationPipeline:
     def jitted(self, tiled: bool = False, **kw) -> Callable:
         fn = self.process_tiled if tiled else self.process
         return jax.jit(partial(fn, **kw))
+
+    def jitted_sharded(self, mesh, **kw) -> Callable:
+        """Data-parallel multi-chip inference: ONE jitted program with the
+        batch sharded over the mesh's ('data','fsdp') axes and params
+        replicated — scaling over ICI instead of the reference's
+        process-per-GPU serving. Global batch must be a multiple of the
+        mesh size (serve.py pads micro-batches). Plain ``process`` only;
+        per-sample maps are disabled (see ``batched_stages``)."""
+        from instarevive_tpu.parallel import mesh as M
+
+        fn = partial(self.process, batched_stages=True, **kw)
+        rep = M.replicated(mesh)
+        bs = M.batch_sharding(mesh)
+        return jax.jit(fn, in_shardings=(rep, bs, bs), out_shardings=bs)

@@ -35,6 +35,10 @@ def main():
     p.add_argument("--max_batch", type=int, default=4)
     p.add_argument("--batch_window_ms", type=int, default=30)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--data_parallel", type=int, default=0,
+                   help="shard request batches over N devices (one jitted "
+                        "program, params replicated, batch split over the "
+                        "mesh; batches are padded to a multiple of N)")
     args = p.parse_args()
 
     import jax
@@ -58,13 +62,23 @@ def main():
     L = pipe.dit.model_max_length
     y1 = np.asarray(params["dit"]["y_embedder"]["y_embedding"])[None][:, :L]
 
+    mesh = None
+    if args.data_parallel > 1:
+        from instarevive_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=args.data_parallel,
+                         devices=jax.devices()[: args.data_parallel])
+
     fns = {}
 
     def get_fn(h, w):
         if (h, w) not in fns:
-            fns[(h, w)] = jax.jit(
-                lambda p, x, yy: pipe.process(p, x, yy, color_fix="wavelet")
-            )
+            if mesh is not None:
+                fns[(h, w)] = pipe.jitted_sharded(mesh, color_fix="wavelet")
+            else:
+                fns[(h, w)] = jax.jit(
+                    lambda p, x, yy: pipe.process(p, x, yy, color_fix="wavelet")
+                )
         return fns[(h, w)]
 
     req_q: "queue.Queue" = queue.Queue()
@@ -87,8 +101,13 @@ def main():
                     req_q.put(item)
                     break
             h, w = first["shape"]
-            x = jnp.asarray(np.stack([b["x"] for b in batch]), jnp.float32)
-            yy = jnp.asarray(np.repeat(y1, len(batch), axis=0), jnp.float32)
+            xs = [b["x"] for b in batch]
+            if mesh is not None and len(xs) % args.data_parallel:
+                # pad to a mesh-size multiple (replicate the last request)
+                pad = args.data_parallel - len(xs) % args.data_parallel
+                xs = xs + [xs[-1]] * pad
+            x = jnp.asarray(np.stack(xs), jnp.float32)
+            yy = jnp.asarray(np.repeat(y1, len(xs), axis=0), jnp.float32)
             out = np.asarray(get_fn(h, w)(params, x, yy))
             stats["served"] += len(batch)
             stats["batches"] += 1
