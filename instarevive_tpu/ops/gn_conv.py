@@ -78,10 +78,11 @@ def _reference(x, gamma, beta, w, bias, groups, eps):
     y = y.reshape(n, h, ww, c) * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
     y = (y * jax.nn.sigmoid(y)).astype(x.dtype)
     out = jax.lax.conv_general_dilated(
-        y, w, (1, 1), ((1, 1), (1, 1)),
+        y, w.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
-    return out + bias
+    # bias added in the compute dtype, like flax nn.Conv(dtype=...)
+    return out + bias.astype(x.dtype)
 
 
 def _gn_affine(x, gamma, beta, groups, eps):
@@ -154,27 +155,27 @@ def _kernel(a_ref, b_ref, x_ref, top_ref, bot_ref, w_ref, bias_ref, o_ref,
     o_ref[0] = out[:, 1 : w + 1].astype(o_ref.dtype)
 
 
-def _vmem_usage(th: int, w: int, c: int, co: int) -> int:
-    """Exact-ish scoped-VMEM model for one program (bf16 compute):
-    flattened scratch strip + im2col buffer + double-buffered x/halo/out
-    blocks + f32 accumulator + weights."""
+def _vmem_usage(th: int, w: int, c: int, co: int, esize: int) -> int:
+    """Exact-ish scoped-VMEM model for one program: flattened scratch strip
+    + im2col buffer + double-buffered x/halo/out blocks (``esize`` bytes
+    per element, the compute dtype) + f32 accumulator + weights."""
     p = w + 4
-    scratch = ((th + 2) * p + 4) * c * 2
-    im2col = th * p * 9 * c * 2
-    x_in = 2 * th * w * c * 2
-    halos = 2 * 2 * w * c * 2
-    out = 2 * th * w * co * 2
+    scratch = ((th + 2) * p + 4) * c * esize
+    im2col = th * p * 9 * c * esize
+    x_in = 2 * th * w * c * esize
+    halos = 2 * 2 * w * c * esize
+    out = 2 * th * w * co * esize
     acc = th * p * co * 4
-    weights = 9 * c * co * 2  # constant index map — not revolved
+    weights = 9 * c * co * esize  # constant index map — not revolved
     return scratch + im2col + x_in + halos + out + acc + weights
 
 
-def _pick_th(h: int, w: int, c: int, co: int,
+def _pick_th(h: int, w: int, c: int, co: int, esize: int,
              budget: int = 12 * 1024 * 1024) -> int:
     # stay well under the 16 MB scoped-VMEM limit (the first TPU run OOM'd
     # at 16.35M with a cruder model; see BENCH.md round 3)
     th = h
-    while th > 1 and (h % th or _vmem_usage(th, w, c, co) > budget):
+    while th > 1 and (h % th or _vmem_usage(th, w, c, co, esize) > budget):
         th -= 1
     return th
 
@@ -186,7 +187,9 @@ def _fused_call(x, gamma, beta, w, bias, groups, eps, interpret=False, th=None):
     n, h, ww, c = x.shape
     co = w.shape[3]
     a, b = _gn_affine(x, gamma, beta, groups, eps)
-    th = th or _pick_th(h, ww, c, co)
+    if th is not None and h % th:
+        raise ValueError(f"th={th} must divide H={h}")
+    th = th or _pick_th(h, ww, c, co, jnp.dtype(x.dtype).itemsize)
     grid = (n, h // th)
 
     def clamp_top(bb, i):
@@ -265,7 +268,9 @@ def gn_conv_enabled(interpret: Optional[bool] = None) -> bool:
     env = os.environ.get(_ENV)
     if env is not None:
         return env not in ("0", "false", "off")
-    return bool(interpret) or os.environ.get("IR_GN_CONV_INTERPRET") == "1"
+    # the interpret flag is a CPU-test affordance: never let it turn the
+    # compiled (measured-negative) kernel on for a real TPU backend
+    return bool(interpret) or gn_interpret()
 
 
 def gn_interpret() -> bool:

@@ -92,6 +92,36 @@ def test_pixart_controlnet_roundtrip():
     _assert_tree_equal(p, back)
 
 
+def test_export_cli_selects_params_from_any_checkpoint_layout():
+    """tools/export_checkpoint.py reads raw trees, legacy {params, ema},
+    and full train-state checkpoints ({'states': [...], ...})."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "export_checkpoint",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "tools", "export_checkpoint.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    raw = {"x_embedder": {"kernel": np.ones(1)}}
+    assert mod._select_params(raw, 0, "params") is raw
+    legacy = {"params": raw, "ema": {"x": np.zeros(1)}}
+    assert mod._select_params(legacy, 0, "params") is raw
+    assert mod._select_params(legacy, 0, "ema") is legacy["ema"]
+    full = {"states": [{"step": 3, "params": raw, "opt_state": {}, "ema": None},
+                       {"step": 3, "params": {"fake": 1}, "opt_state": {}, "ema": None}],
+            "rng": np.zeros(2), "step_i": 3}
+    assert mod._select_params(full, 0, "params") is raw
+    assert mod._select_params(full, 1, "params") == {"fake": 1}
+    import pytest
+
+    with pytest.raises(SystemExit):
+        mod._select_params(full, 0, "ema")
+
+
 def test_swinir_export_loads_into_reference_model():
     """The exported state_dict drives the ACTUAL reference torch SwinIR to
     the same outputs as our flax model holding the same weights.

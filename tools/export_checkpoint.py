@@ -12,14 +12,37 @@ here loads straight into the reference torch stack / diffusers):
     python tools/export_checkpoint.py --kind unet   --src out/unet   --dst unet.pth
 
 Exporters are exact inverses of the importers (tests/test_export.py
-round-trips bit-for-bit). ``--src`` is an orbax checkpoint directory (as
-written by convert_checkpoint.py / train.py); ``--dst`` is written with
-``torch.save`` as a flat state_dict of CPU tensors.
+round-trips bit-for-bit). ``--src`` is an orbax checkpoint directory:
+either a raw param tree (convert_checkpoint.py output), a legacy
+``{"params", "ema"}`` checkpoint, or a FULL train-state checkpoint
+written by train.py (``{"states": [...], "rng", "step_i"}``) — for the
+latter, ``--state_index`` picks the model (0 = generator; DMD saves the
+fake score at 1) and ``--weights ema`` exports the EMA shadow instead of
+the online params. ``--dst`` is written with ``torch.save`` as a flat
+state_dict of CPU tensors.
 """
 
 from __future__ import annotations
 
 import argparse
+
+
+def _select_params(tree, state_index: int, weights: str):
+    """Normalize any of the three checkpoint layouts to a model param tree."""
+    if isinstance(tree, dict) and "states" in tree:  # full train state
+        state = tree["states"][state_index]
+        sel = state.get("ema") if weights == "ema" else state.get("params")
+        if sel is None:
+            raise SystemExit(
+                f"checkpoint state {state_index} has no {weights!r} tree"
+            )
+        return sel
+    if isinstance(tree, dict) and set(tree) <= {"params", "ema"}:  # legacy
+        sel = tree.get("ema") if weights == "ema" else tree.get("params")
+        if sel is None:
+            raise SystemExit(f"legacy checkpoint has no {weights!r} tree")
+        return sel
+    return tree  # raw param tree
 
 
 def main():
@@ -32,6 +55,10 @@ def main():
     p.add_argument("--depth", type=int, default=28)
     p.add_argument("--swinir_depths", type=int, nargs="*", default=[6] * 8)
     p.add_argument("--sf", type=int, default=8)
+    p.add_argument("--state_index", type=int, default=0,
+                   help="which TrainState to export from a full train "
+                        "checkpoint (0 = generator)")
+    p.add_argument("--weights", choices=["params", "ema"], default="params")
     args = p.parse_args()
 
     import numpy as np
@@ -46,7 +73,8 @@ def main():
     )
     from instarevive_tpu.train.checkpoint import load_checkpoint
 
-    params = load_checkpoint(args.src)
+    params = _select_params(load_checkpoint(args.src), args.state_index,
+                            args.weights)
     sd = {
         "swinir": lambda: swinir_params_to_torch(
             params, depths=tuple(args.swinir_depths), sf=args.sf),
