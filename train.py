@@ -12,6 +12,11 @@ with one pjit-based loop over a ('data','fsdp') mesh.
 The reference recipe (scripts/run_pixart_dmd.py:17-29,68-96): lr 1e-5
 constant, one_step_maxt 400, start_ts 999, cfg 3, regression 0.25,
 max_grad_norm 10, ckpt every 5000 steps, bf16.
+
+Measured single-v5e-chip DMD recipe (BENCH.md round-3 batch sweep):
+``--task dmd --lowmem --remat_policy dots --batch_size 2 --grad_accum 4``
+— per-chip batch 2 is the throughput optimum (41.6% train MFU,
+283 ms/step; batch 4 exceeds HBM under the dots policy).
 """
 
 from __future__ import annotations
