@@ -81,3 +81,30 @@ def test_swinir_jit_compiles(ref_and_ours):
     f = jax.jit(lambda v, x: ours.apply(v, x))
     out = f(variables, jnp.ones((1, 64, 64, 3)) * 0.5)
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("h,w,window,shift", [
+    (16, 16, 8, 4), (32, 16, 8, 4), (24, 40, 8, 3), (16, 16, 4, 2),
+    (64, 64, 8, 4),
+])
+def test_shift_window_perm_property(h, w, window, shift):
+    """win(roll(x, -s)) == win(x)[:, perm] and the inverse, for assorted
+    geometries (the permutation that keeps shifted Swin blocks
+    window-resident, ops/window.py)."""
+    from instarevive_tpu.ops import window as W
+
+    rng = np.random.default_rng(h * w + shift)
+    x = jnp.asarray(rng.standard_normal((2, h, w, 5)), jnp.float32)
+
+    def win(t):
+        return W.window_partition(t, window).reshape(2, h * w, 5)
+
+    perm, inv = W.shift_window_perm(h, w, window, shift)
+    np.testing.assert_array_equal(
+        np.asarray(win(W.cyclic_shift(x, shift))),
+        np.asarray(win(x)[:, jnp.asarray(perm)]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(win(W.cyclic_unshift(x, shift))),
+        np.asarray(win(x)[:, jnp.asarray(inv)]),
+    )
