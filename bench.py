@@ -57,15 +57,12 @@ def main():
     pipe = build_pipeline(cfg, dtype=jnp.bfloat16 if backend == "tpu" else None)
     params = init_params(pipe, seed=0)
     if os.environ.get("BENCH_BF16_PARAMS", "1") == "1" and backend == "tpu":
-        # serve the conv stages' weights pre-cast to bf16. NUMERICALLY
-        # IDENTICAL to the f32-param path: flax promotes params to the
-        # module dtype (bf16) inside every conv anyway — this only removes
-        # the per-call f32->bf16 convert traffic (+1.4% e2e measured).
-        params = {
-            k: (jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), v)
-                if k in ("swinir", "vae") else v)
-            for k, v in params.items()
-        }
+        # pre-cast conv-stage weights to bf16 (+1.4% e2e measured); the
+        # helper excludes params consumed at f32 precision (SwinIR rel-pos
+        # bias table), keeping the cast numerically identical.
+        from instarevive_tpu.pipelines.build import precast_serving_params
+
+        params = precast_serving_params(params)
 
     y = jnp.zeros((batch, pipe.dit.model_max_length, pipe.dit.caption_channels))
     lq = jnp.full((batch, size, size, 3), 0.5, jnp.float32)
@@ -129,5 +126,89 @@ def main():
     )
 
 
+def _looks_like_outage(text: str) -> bool:
+    """Relay-down signatures (CLAUDE.md: 'wait and retry' is the documented
+    remedy — the bench does that itself so one outage can't blank the
+    round's only perf artifact, as happened to BENCH_r03)."""
+    markers = (
+        "Unable to initialize backend 'axon'",
+        "UNAVAILABLE",
+        "DEADLINE_EXCEEDED",
+        "failed to connect",
+        "Connection reset",
+        "Broken pipe",
+        "attempt timed out",
+    )
+    return any(m in text for m in markers)
+
+
+def _run_with_retries() -> int:
+    import subprocess
+    import threading
+
+    retries = int(os.environ.get("IR_BENCH_RETRIES", "4"))
+    backoff_s = float(os.environ.get("IR_BENCH_BACKOFF_S", "120"))
+    attempt_timeout_s = float(os.environ.get("IR_BENCH_ATTEMPT_TIMEOUT_S", "1500"))
+
+    last_tail = ""
+    for attempt in range(1, retries + 1):
+        env = dict(os.environ)
+        env["_IR_BENCH_INPROC"] = "1"
+        env.setdefault("PYTHONUNBUFFERED", "1")
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, text=True, bufsize=1,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        lines: list[str] = []
+
+        def _pump(stream=proc.stdout, sink=lines):
+            for line in stream:
+                sink.append(line)
+                sys.stdout.write(line)
+                sys.stdout.flush()
+
+        t = threading.Thread(target=_pump, daemon=True)
+        t.start()
+        try:
+            rc = proc.wait(timeout=attempt_timeout_s)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.wait()
+            rc = -9
+            lines.append("attempt timed out\n")
+        t.join(timeout=10)
+        if rc == 0:
+            return 0
+        last_tail = "".join(lines[-40:])
+        if attempt < retries and _looks_like_outage(last_tail):
+            print(
+                f"[bench] attempt {attempt}/{retries} hit a relay outage "
+                f"(rc={rc}); retrying in {backoff_s:.0f}s",
+                file=sys.stderr, flush=True,
+            )
+            time.sleep(backoff_s)
+            continue
+        break
+    # Final failure: the artifact still gets a machine-readable reason.
+    print(
+        json.dumps(
+            {
+                "metric": "one-step restoration throughput (bench FAILED)",
+                "value": 0.0,
+                "unit": "MP/s/chip",
+                "vs_baseline": 0.0,
+                "error": last_tail.strip().splitlines()[-1] if last_tail.strip() else "unknown",
+                "attempts": retries,
+            }
+        ),
+        flush=True,
+    )
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("_IR_BENCH_INPROC"):
+        main()
+    else:
+        sys.exit(_run_with_retries())

@@ -90,14 +90,12 @@ def main(argv=None):
             pipe, swinir_ckpt=args.swinir_ckpt, vae_ckpt=args.vae_ckpt, dit_ckpt=args.ckpt
         )
     if jnp_dtype is jnp.bfloat16:
-        # serve conv-stage weights pre-cast to bf16: numerically identical
-        # (flax promotes params to the module dtype inside every conv) but
-        # skips the per-call f32->bf16 convert traffic (BENCH.md round 3)
-        params = {
-            k: (jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), v)
-                if k in ("swinir", "vae") else v)
-            for k, v in params.items()
-        }
+        # pre-cast conv-stage weights to bf16 (skips f32->bf16 convert
+        # traffic; excludes f32-consumed params like the SwinIR rel-pos
+        # bias table — see precast_serving_params)
+        from instarevive_tpu.pipelines.build import precast_serving_params
+
+        params = precast_serving_params(params)
 
     # null T5 prompt embedding (reference: 300-token quality prompt embed)
     L = pipe.dit.model_max_length

@@ -92,7 +92,12 @@ def _gn_affine(x, gamma, beta, groups, eps):
     cg = c // groups
     xf = x.astype(jnp.float32).reshape(n, h * w, groups, cg)
     mean = xf.mean(axis=(1, 3))  # (N, G)
-    var = jnp.mean(jnp.square(xf), axis=(1, 3)) - jnp.square(mean)
+    # E[x^2]-mean^2 can go slightly negative under f32 cancellation for
+    # near-constant inputs, and rsqrt(var+eps) would then NaN while the
+    # two-pass _reference stays finite — clamp to keep the paths aligned.
+    var = jnp.maximum(
+        jnp.mean(jnp.square(xf), axis=(1, 3)) - jnp.square(mean), 0.0
+    )
     rstd = jax.lax.rsqrt(var + eps)
     rstd_c = jnp.repeat(rstd, cg, axis=1)  # (N, C)
     mean_c = jnp.repeat(mean, cg, axis=1)
@@ -171,12 +176,18 @@ def _vmem_usage(th: int, w: int, c: int, co: int, esize: int) -> int:
 
 
 def _pick_th(h: int, w: int, c: int, co: int, esize: int,
-             budget: int = 12 * 1024 * 1024) -> int:
+             budget: int = 12 * 1024 * 1024) -> Optional[int]:
     # stay well under the 16 MB scoped-VMEM limit (the first TPU run OOM'd
     # at 16.35M with a cruder model; see BENCH.md round 3)
     th = h
     while th > 1 and (h % th or _vmem_usage(th, w, c, co, esize) > budget):
         th -= 1
+    if _vmem_usage(th, w, c, co, esize) > budget:
+        # even a single-row strip exceeds scoped VMEM (very wide W*C):
+        # signal the caller to fall back to the XLA composition instead of
+        # launching a kernel that would OOM — the failure mode this picker
+        # exists to prevent.
+        return None
     return th
 
 
@@ -190,6 +201,11 @@ def _fused_call(x, gamma, beta, w, bias, groups, eps, interpret=False, th=None):
     if th is not None and h % th:
         raise ValueError(f"th={th} must divide H={h}")
     th = th or _pick_th(h, ww, c, co, jnp.dtype(x.dtype).itemsize)
+    if th is None:
+        raise ValueError(
+            "shape exceeds the scoped-VMEM budget at th=1; use "
+            "gn_silu_conv3x3 (which falls back to the XLA composition)"
+        )
     grid = (n, h // th)
 
     def clamp_top(bb, i):
@@ -308,4 +324,8 @@ def gn_silu_conv3x3(
     )
     if not eligible:
         return _reference(x, gamma, beta, w, bias, groups, eps)
+    if th is None:
+        th = _pick_th(h, ww, c, co, jnp.dtype(x.dtype).itemsize)
+        if th is None:  # no strip height fits scoped VMEM for this W*C
+            return _reference(x, gamma, beta, w, bias, groups, eps)
     return _gn_silu_conv3x3(x, gamma, beta, w, bias, groups, eps, bool(it), th)

@@ -124,3 +124,30 @@ def load_params(
             )
         params["dit"] = converted
     return params
+
+
+def precast_serving_params(
+    params: Dict[str, Any],
+    dtype=jnp.bfloat16,
+    subtrees: Tuple[str, ...] = ("swinir", "vae"),
+) -> Dict[str, Any]:
+    """Pre-cast conv-stage weights to the serving compute dtype.
+
+    Numerically identical to serving f32 masters for every param flax
+    promotes to the module dtype (conv/dense/norm weights); the cast only
+    removes the per-call f32->bf16 convert traffic (+1.4% e2e, BENCH.md
+    round 3). Params deliberately consumed at f32 precision are EXCLUDED:
+    SwinIR's ``relative_position_bias_table`` is added to f32 attention
+    scores (models/swinir.py) and pre-casting it would quantize the bias.
+    """
+    keep_f32 = ("relative_position_bias_table",)
+
+    def _cast_tree(tree):
+        def _cast(path, x):
+            if any(getattr(p, "key", None) in keep_f32 for p in path):
+                return x
+            return x.astype(dtype) if hasattr(x, "astype") else x
+
+        return jax.tree_util.tree_map_with_path(_cast, tree)
+
+    return {k: (_cast_tree(v) if k in subtrees else v) for k, v in params.items()}

@@ -43,11 +43,11 @@ _SCALE = 0.8  # per-LAYER residual scale (official SwinTransformer.forward)
 _DIM_MLP = 768  # official dim_mlp (MLP hidden width in both stages)
 
 
-def _ln(x, p, name):
+def _ln(x, p, name, eps=1e-6):
     g, b = p[f"{name}/scale"], p[f"{name}/bias"]
     mu = x.mean(-1, keepdims=True)
     var = ((x - mu) ** 2).mean(-1, keepdims=True)
-    return (x - mu) / jnp.sqrt(var + 1e-6) * g + b
+    return (x - mu) / jnp.sqrt(var + eps) * g + b
 
 
 def _linear(x, p, name):
@@ -95,13 +95,19 @@ def _vit_forward(params: Dict[str, jnp.ndarray], x: jnp.ndarray):
 
 def _tab(x, p, name):
     """Transposed attention block (official models/maniqa.py TABlock):
-    attention ACROSS channels; q/k/v are linear maps over the spatial dim."""
+    attention ACROSS channels; q/k/v are linear maps over the spatial dim.
+
+    Includes the official ``(attn @ v).transpose(1, 2).reshape(B, C, N)``
+    idiom: with C != N that transpose+reshape is a genuine deterministic
+    entry permutation (NOT a no-op) which the released weights were trained
+    through — parity requires reproducing it (tests/iqa_oracles.py)."""
     q = _linear(x, p, f"{name}/c_q")
     k = _linear(x, p, f"{name}/c_k")
     v = _linear(x, p, f"{name}/c_v")
-    n = x.shape[-1]
+    b, c, n = x.shape
     a = jax.nn.softmax(q @ jnp.swapaxes(k, -1, -2) * n**-0.5, axis=-1)  # (B,C,C)
-    return a @ v + x
+    o = jnp.swapaxes(a @ v, 1, 2).reshape(b, c, n)
+    return o + x
 
 
 def _rel_position_index(window: int) -> np.ndarray:
@@ -176,10 +182,12 @@ def _swin_stage(x, p, name, dim):
         x_in = x
         for d in range(_SWIN_DEPTH):
             n = f"{name}/layer{l}/block{d}"
-            y = _ln(x, p, f"{n}/norm1")
+            # official swin blocks use nn.LayerNorm default eps=1e-5
+            # (unlike the timm ViT trunk's 1e-6)
+            y = _ln(x, p, f"{n}/norm1", eps=1e-5)
             y = _window_attn(y, p, f"{n}/attn", _SWIN_HEADS, shift=(d % 2 == 1))
             x = x + y
-            y = _ln(x, p, f"{n}/norm2")
+            y = _ln(x, p, f"{n}/norm2", eps=1e-5)
             y = _linear(y, p, f"{n}/mlp1")
             y = jax.nn.gelu(y, approximate=False)
             x = x + _linear(y, p, f"{n}/mlp2")

@@ -137,9 +137,9 @@ def musiq_forward(params, patches, hash_idx, scale_ids, mask) -> jnp.ndarray:
     # Weight standardization is folded into the stored kernels at import.
     x = x.reshape(b * n, _P, _P, 3)
 
-    def conv(x, name, stride=1):
+    def conv(x, name, stride=1, padding="SAME"):
         return jax.lax.conv_general_dilated(
-            x, p[f"{name}/kernel"], (stride, stride), "SAME",
+            x, p[f"{name}/kernel"], (stride, stride), padding,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
 
@@ -152,10 +152,16 @@ def musiq_forward(params, patches, hash_idx, scale_ids, mask) -> jnp.ndarray:
         xg = (xg - mu) / jnp.sqrt(var + 1e-6)
         return xg.reshape(x.shape) * p[f"{name}/scale"] + p[f"{name}/bias"]
 
-    x = conv(x, "conv_root", stride=2)  # 32 -> 16
+    # torch-port padding semantics, NOT XLA "SAME": Conv2d(7, stride=2,
+    # padding=3) pads (3, 3) where SAME would pad (2, 3) on even inputs
+    # (one-pixel alignment shift), and MaxPool2d(3, 2, padding=1) pads
+    # (1, 1) where SAME pads (0, 1). Verified against the torch oracle
+    # (tests/iqa_oracles.py TorchMUSIQ).
+    x = conv(x, "conv_root", stride=2, padding=((3, 3), (3, 3)))  # 32 -> 16
     x = jax.nn.relu(gn(x, "gn_root"))
     x = jax.lax.reduce_window(
-        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "SAME"
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        ((0, 0), (1, 1), (1, 1), (0, 0)),
     )  # 16 -> 8
     res = gn(conv(x, "unit1/downsample"), "unit1/gn_proj", groups=_ROOT_OUT)
     y = jax.nn.relu(gn(conv(x, "unit1/conv1"), "unit1/gn1"))
@@ -345,7 +351,18 @@ def params_from_torch(sd: Dict[str, "np.ndarray"]) -> Dict[str, jnp.ndarray]:
         )
     for g in ("gn1", "gn2", "gn3", "gn_proj"):
         gnp(f"unit1/{g}", f"block1.unit1.{g}")
-    lin("embed", "embedding")
+    # torch ports feed the embedding with `.flatten(1)` of the NCHW root
+    # output — in-feature order (C, H, W); our forward flattens NHWC
+    # (H, W, C). Permute the in-feature axis accordingly (the "conv-root
+    # key map fit", verified against tests/iqa_oracles.py TorchMUSIQ).
+    ew = a("embedding.weight")  # (D, C*H*W)
+    ew = (
+        ew.reshape(_D, _ROOT_OUT, _ROOT_HW, _ROOT_HW)
+        .transpose(0, 2, 3, 1)
+        .reshape(_D, -1)
+    )
+    p["embed/kernel"] = jnp.asarray(ew.T)
+    p["embed/bias"] = jnp.asarray(a("embedding.bias"))
 
     for i in range(_LAYERS):
         n, s = f"block{i}", f"transformer_encoder.layers.{i}"

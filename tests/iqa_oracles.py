@@ -1,0 +1,473 @@
+"""Torch transcriptions of the IQA nets used as numerical oracles.
+
+VERDICT r3 item 4: every other model in the repo is parity-tested against
+the actual reference torch implementation (tests/oracles.py); the IQA nets
+(MUSIQ / MANIQA) are not IN the reference repo — the reference calls
+``pyiqa.create_metric(...)`` (evaluate_img.py:13-33) and pyiqa is absent in
+this zero-egress image. These modules transcribe the official layouts
+(IIGROUP/MANIQA models/maniqa.py + models/swin.py; the pyiqa MUSIQ port of
+the Google multi-scale IQA transformer) into plain torch, with state-dict
+names exactly matching the importer dialects documented in
+``instarevive_tpu/utils/{maniqa,musiq}.py`` — so ``model.state_dict()``
+feeds ``params_from_torch`` directly and a forward-output comparison
+catches transposed kernels, wrong split order, and padding-semantics drift
+that key-list tests cannot see.
+
+Torch-native idioms are used deliberately (runtime weight standardization,
+``Conv2d(padding=3)``, ``MaxPool2d(3, 2, padding=1)``, ``flatten(1)``
+C-H-W feature order): those are what any torch port ships, and they are
+exactly where XLA-"SAME"-style reimplementations silently diverge.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+
+# --------------------------------------------------------------- MUSIQ ---
+
+
+class WSConv2d(nn.Conv2d):
+    """BiT StdConv2d: weight standardization applied at runtime (the JAX
+    importer folds the same transform into the stored kernel, eps 1e-10)."""
+
+    def forward(self, x):
+        w = self.weight
+        v, m = torch.var_mean(w, dim=[1, 2, 3], keepdim=True, unbiased=False)
+        w = (w - m) / torch.sqrt(v + 1e-10)
+        return F.conv2d(x, w, self.bias, self.stride, self.padding)
+
+
+class _MusiqAttention(nn.Module):
+    """ViT-pytorch style attention: separate query/key/value linears."""
+
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.heads = heads
+        self.query = nn.Linear(dim, dim)
+        self.key = nn.Linear(dim, dim)
+        self.value = nn.Linear(dim, dim)
+        self.out = nn.Linear(dim, dim)
+
+    def forward(self, x, mask):
+        b, n, d = x.shape
+        h, dh = self.heads, d // self.heads
+
+        def split(t):
+            return t.view(b, n, h, dh).transpose(1, 2)  # (b, h, n, dh)
+
+        q, k, v = split(self.query(x)), split(self.key(x)), split(self.value(x))
+        s = q @ k.transpose(-1, -2) * dh**-0.5
+        s = s.masked_fill(~mask[:, None, None, :], -1e30)
+        a = torch.softmax(s, dim=-1)
+        o = (a @ v).transpose(1, 2).reshape(b, n, d)
+        return self.out(o)
+
+
+class _MusiqLayer(nn.Module):
+    def __init__(self, dim, heads, mlp):
+        super().__init__()
+        self.attention_norm = nn.LayerNorm(dim, eps=1e-6)
+        self.attn = _MusiqAttention(dim, heads)
+        self.ffn_norm = nn.LayerNorm(dim, eps=1e-6)
+        self.ffn = nn.Module()
+        self.ffn.fc1 = nn.Linear(dim, mlp)
+        self.ffn.fc2 = nn.Linear(mlp, dim)
+
+    def forward(self, x, mask):
+        x = x + self.attn(self.attention_norm(x), mask)
+        y = self.ffn_norm(x)
+        y = self.ffn.fc2(F.gelu(self.ffn.fc1(y)))
+        return x + y
+
+
+class _MusiqUnit(nn.Module):
+    """One post-norm bottleneck 64 -> 256 (the dialect's block1.unit1)."""
+
+    def __init__(self, w=64, out=256):
+        super().__init__()
+        self.conv1 = WSConv2d(w, w, 1, bias=False)
+        self.gn1 = nn.GroupNorm(32, w, eps=1e-6)
+        self.conv2 = WSConv2d(w, w, 3, padding=1, bias=False)
+        self.gn2 = nn.GroupNorm(32, w, eps=1e-6)
+        self.conv3 = WSConv2d(w, out, 1, bias=False)
+        self.gn3 = nn.GroupNorm(32, out, eps=1e-6)
+        self.downsample = WSConv2d(w, out, 1, bias=False)
+        self.gn_proj = nn.GroupNorm(out, out, eps=1e-6)
+
+    def forward(self, x):
+        res = self.gn_proj(self.downsample(x))
+        y = F.relu(self.gn1(self.conv1(x)))
+        y = F.relu(self.gn2(self.conv2(y)))
+        y = self.gn3(self.conv3(y))
+        return F.relu(res + y)
+
+
+class _MusiqBlock1(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.unit1 = _MusiqUnit()
+
+
+class _MusiqEncoder(nn.Module):
+    def __init__(self, dim, layers, heads, mlp, grid, n_scales):
+        super().__init__()
+        self.cls_token = nn.Parameter(torch.zeros(1, 1, dim))
+        self.pos_emb = nn.Parameter(torch.zeros(1, grid * grid, dim))
+        self.scale_emb = nn.Parameter(torch.zeros(1, n_scales, dim))
+        self.layers = nn.ModuleList(
+            [_MusiqLayer(dim, heads, mlp) for _ in range(layers)]
+        )
+        self.encoder_norm = nn.LayerNorm(dim, eps=1e-6)
+
+
+class TorchMUSIQ(nn.Module):
+    """The documented MUSIQ torch dialect, runnable. Consumes the SAME
+    prepped inputs as ``musiq_forward`` (patches as flattened 32x32x3 HWC
+    vectors + hash/scale indices + mask) so the comparison isolates the
+    network from host-side patch extraction (which has its own parity
+    tests against torch/PIL resizes)."""
+
+    P = 32
+
+    def __init__(self, dim=384, layers=14, heads=6, mlp=1152, grid=10,
+                 n_scales=3, head_out=1):
+        super().__init__()
+        self.dim, self.grid = dim, grid
+        self.conv_root = WSConv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.gn_root = nn.GroupNorm(32, 64, eps=1e-6)
+        self.block1 = _MusiqBlock1()
+        root_hw = self.P // 4
+        self.embedding = nn.Linear(root_hw * root_hw * 256, dim)
+        self.transformer_encoder = _MusiqEncoder(dim, layers, heads, mlp,
+                                                 grid, n_scales)
+        self.head = nn.Linear(dim, head_out)
+
+    def forward(self, patches, hash_idx, scale_ids, mask):
+        b, n, _ = patches.shape
+        # patch vectors are (P, P, 3) row-major HWC -> NCHW patch images
+        x = patches.view(b * n, self.P, self.P, 3).permute(0, 3, 1, 2)
+        x = self.conv_root(x)
+        x = F.relu(self.gn_root(x))
+        x = F.max_pool2d(x, 3, stride=2, padding=1)
+        x = self.block1.unit1(x)  # (B*N, 256, 8, 8)
+        x = self.embedding(x.flatten(1)).view(b, n, self.dim)  # C,H,W order
+        enc = self.transformer_encoder
+        x = x + enc.pos_emb[0][hash_idx] + enc.scale_emb[0][scale_ids]
+        cls = enc.cls_token.expand(b, 1, self.dim)
+        x = torch.cat([cls, x], dim=1)
+        mask = torch.cat([torch.ones(b, 1, dtype=torch.bool), mask], dim=1)
+        for layer in enc.layers:
+            x = layer(x, mask)
+        x = enc.encoder_norm(x)
+        out = self.head(x[:, 0])
+        if out.shape[-1] > 1:  # AVA 10-way head -> mean score
+            bins = torch.arange(1, out.shape[-1] + 1, dtype=out.dtype)
+            return (torch.softmax(out, -1) * bins).sum(-1)
+        return out[:, 0]
+
+
+# -------------------------------------------------------------- MANIQA ---
+
+
+class _TABlock(nn.Module):
+    """Official IIGROUP/MANIQA models/maniqa.py TABlock, including the
+    ``(attn @ v).transpose(1, 2).reshape(B, C, N)`` idiom: with C != N the
+    transpose+reshape is a genuine deterministic permutation of entries
+    (not a no-op) that the trained weights absorbed — any parity-faithful
+    reimplementation must reproduce it."""
+
+    def __init__(self, dim):
+        super().__init__()
+        self.c_q = nn.Linear(dim, dim)
+        self.c_k = nn.Linear(dim, dim)
+        self.c_v = nn.Linear(dim, dim)
+        self.norm_fact = dim**-0.5
+
+    def forward(self, x):
+        _x = x
+        b, c, n = x.shape
+        q, k, v = self.c_q(x), self.c_k(x), self.c_v(x)
+        attn = torch.softmax(q @ k.transpose(-2, -1) * self.norm_fact, dim=-1)
+        x = (attn @ v).transpose(1, 2).reshape(b, c, n)
+        return x + _x
+
+
+class _VitBlock(nn.Module):
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+        self.attn = nn.Module()
+        self.attn.qkv = nn.Linear(dim, 3 * dim)
+        self.attn.proj = nn.Linear(dim, dim)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        self.mlp = nn.Module()
+        self.mlp.fc1 = nn.Linear(dim, 4 * dim)
+        self.mlp.fc2 = nn.Linear(4 * dim, dim)
+        self.heads = heads
+
+    def forward(self, x):
+        b, n, d = x.shape
+        h, dh = self.heads, d // self.heads
+        y = self.norm1(x)
+        qkv = self.attn.qkv(y).view(b, n, 3, h, dh).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        a = torch.softmax(q @ k.transpose(-1, -2) * dh**-0.5, dim=-1)
+        o = (a @ v).transpose(1, 2).reshape(b, n, d)
+        x = x + self.attn.proj(o)
+        y = self.norm2(x)
+        return x + self.mlp.fc2(F.gelu(self.mlp.fc1(y)))
+
+
+class _Vit(nn.Module):
+    """timm vit_base_patch8_224-shaped trunk (configurable width/depth)."""
+
+    def __init__(self, dim, depth, heads, patch, grid):
+        super().__init__()
+        self.patch_embed = nn.Module()
+        self.patch_embed.proj = nn.Conv2d(3, dim, patch, stride=patch)
+        self.cls_token = nn.Parameter(torch.zeros(1, 1, dim))
+        self.pos_embed = nn.Parameter(torch.zeros(1, grid * grid + 1, dim))
+        self.blocks = nn.ModuleList([_VitBlock(dim, heads) for _ in range(depth)])
+        self.norm = nn.LayerNorm(dim, eps=1e-6)  # unused head-side norm
+
+
+def _swin_rel_index(window):
+    coords = torch.stack(torch.meshgrid(
+        torch.arange(window), torch.arange(window), indexing="ij"))
+    flat = coords.flatten(1)
+    rel = flat[:, :, None] - flat[:, None, :]
+    rel = rel.permute(1, 2, 0) + (window - 1)
+    return rel[..., 0] * (2 * window - 1) + rel[..., 1]
+
+
+class _SwinBlock(nn.Module):
+    def __init__(self, dim, heads, window, shift, hw, dim_mlp):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim)  # official swin: default eps 1e-5
+        self.attn = nn.Module()
+        self.attn.qkv = nn.Linear(dim, 3 * dim)
+        self.attn.proj = nn.Linear(dim, dim)
+        self.attn.relative_position_bias_table = nn.Parameter(
+            torch.zeros((2 * window - 1) ** 2, heads))
+        self.norm2 = nn.LayerNorm(dim)
+        self.mlp = nn.Module()
+        self.mlp.fc1 = nn.Linear(dim, dim_mlp)
+        self.mlp.fc2 = nn.Linear(dim_mlp, dim)
+        self.heads, self.window, self.shift, self.hw = heads, window, shift, hw
+
+    def _window_attn(self, x):
+        b, hh, ww, c = x.shape
+        win, h = self.window, self.heads
+        if self.shift:
+            x = torch.roll(x, (-win // 2, -win // 2), dims=(1, 2))
+        nwh, nww = hh // win, ww // win
+        wsq = win * win
+        xw = x.view(b, nwh, win, nww, win, c).permute(0, 1, 3, 2, 4, 5)
+        xw = xw.reshape(b * nwh * nww, wsq, c)
+        dh = c // h
+        qkv = self.attn.qkv(xw).view(-1, wsq, 3, h, dh).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        s = q @ k.transpose(-1, -2) * dh**-0.5
+        bias = self.attn.relative_position_bias_table[_swin_rel_index(win)]
+        s = s + bias.permute(2, 0, 1)[None]
+        if self.shift:
+            img_mask = torch.zeros(hh, ww)
+            cnt = 0
+            for hs in (slice(0, -win), slice(-win, -win // 2), slice(-win // 2, None)):
+                for ws in (slice(0, -win), slice(-win, -win // 2), slice(-win // 2, None)):
+                    img_mask[hs, ws] = cnt
+                    cnt += 1
+            wins = img_mask.view(nwh, win, nww, win).permute(0, 2, 1, 3)
+            wins = wins.reshape(nwh * nww, wsq)
+            am = wins[:, None, :] - wins[:, :, None]
+            am = torch.where(am != 0, torch.tensor(-100.0), torch.tensor(0.0))
+            s = s.view(b, nwh * nww, h, wsq, wsq) + am[None, :, None]
+            s = s.view(-1, h, wsq, wsq)
+        a = torch.softmax(s, dim=-1)
+        o = (a @ v).transpose(1, 2).reshape(-1, wsq, c)
+        o = self.attn.proj(o)
+        o = o.view(b, nwh, nww, win, win, c).permute(0, 1, 3, 2, 4, 5)
+        o = o.reshape(b, hh, ww, c)
+        if self.shift:
+            o = torch.roll(o, (win // 2, win // 2), dims=(1, 2))
+        return o
+
+    def forward(self, x):  # x: (B, N, C) tokens on an hw x hw grid
+        b, n, c = x.shape
+        y = self.norm1(x).view(b, self.hw, self.hw, c)
+        x = x + self._window_attn(y).reshape(b, n, c)
+        y = self.norm2(x)
+        return x + self.mlp.fc2(F.gelu(self.mlp.fc1(y)))
+
+
+class _SwinLayer(nn.Module):
+    def __init__(self, dim, heads, window, depth, hw, dim_mlp):
+        super().__init__()
+        self.blocks = nn.ModuleList([
+            _SwinBlock(dim, heads, window, shift=(d % 2 == 1), hw=hw,
+                       dim_mlp=dim_mlp)
+            for d in range(depth)
+        ])
+
+    def forward(self, x):
+        for blk in self.blocks:
+            x = blk(x)
+        return x
+
+
+class _SwinStage(nn.Module):
+    """Official MANIQA models/swin.py SwinTransformer: per-LAYER scaled
+    residual ``x = scale * layer(x) + x``."""
+
+    def __init__(self, dim, heads, window, layers, depth, hw, dim_mlp,
+                 scale=0.8):
+        super().__init__()
+        self.layers = nn.ModuleList([
+            _SwinLayer(dim, heads, window, depth, hw, dim_mlp)
+            for _ in range(layers)
+        ])
+        self.scale, self.hw, self.dim = scale, hw, dim
+
+    def forward(self, x):  # (B, C, H, W) -> (B, C, H, W)
+        b, c, h, w = x.shape
+        x = x.flatten(2).transpose(1, 2)  # (B, N, C)
+        for layer in self.layers:
+            x = self.scale * layer(x) + x
+        return x.transpose(1, 2).view(b, c, h, w)
+
+
+_IMAGENET_MEAN = torch.tensor([0.485, 0.456, 0.406])
+_IMAGENET_STD = torch.tensor([0.229, 0.224, 0.225])
+
+
+class TorchMANIQA(nn.Module):
+    """Official MANIQA graph (IIGROUP/MANIQA models/maniqa.py order:
+    vit -> TAB x2 -> conv1 -> swin1 -> TAB x2 -> conv2 -> swin2 -> dual
+    score/weight branch), parameter names matching the importer dialect."""
+
+    def __init__(self, vit_dim=768, vit_depth=12, vit_heads=12, patch=8,
+                 img=224, feat_blocks=(6, 7, 8, 9), num_tab=2, window=4,
+                 swin_heads=4, swin_layers=2, swin_depth=2, dim_mlp=768):
+        super().__init__()
+        grid = img // patch
+        self.grid, self.img, self.feat_blocks = grid, img, feat_blocks
+        embed = vit_dim
+        self.vit = _Vit(vit_dim, vit_depth, vit_heads, patch, grid)
+        n_sp = grid * grid
+        self.tablock1 = nn.ModuleList([_TABlock(n_sp) for _ in range(num_tab)])
+        self.conv1 = nn.Conv2d(len(feat_blocks) * vit_dim, embed, 1)
+        self.swintransformer1 = _SwinStage(embed, swin_heads, window,
+                                           swin_layers, swin_depth, grid,
+                                           dim_mlp)
+        self.tablock2 = nn.ModuleList([_TABlock(n_sp) for _ in range(num_tab)])
+        self.conv2 = nn.Conv2d(embed, embed // 2, 1)
+        self.swintransformer2 = _SwinStage(embed // 2, swin_heads, window,
+                                           swin_layers, swin_depth, grid,
+                                           dim_mlp)
+        self.fc_score = nn.Sequential(
+            nn.Linear(embed // 2, embed // 2), nn.ReLU(), nn.Dropout(),
+            nn.Linear(embed // 2, 1), nn.ReLU())
+        self.fc_weight = nn.Sequential(
+            nn.Linear(embed // 2, embed // 2), nn.ReLU(), nn.Dropout(),
+            nn.Linear(embed // 2, 1), nn.Sigmoid())
+        self.embed = embed
+
+    def forward(self, img01_nhwc):
+        x = (img01_nhwc - _IMAGENET_MEAN) / _IMAGENET_STD
+        x = x.permute(0, 3, 1, 2)  # NCHW
+        b = x.shape[0]
+        v = self.vit
+        t = v.patch_embed.proj(x).flatten(2).transpose(1, 2)
+        t = torch.cat([v.cls_token.expand(b, -1, -1), t], dim=1) + v.pos_embed
+        feats = []
+        for i, blk in enumerate(v.blocks):
+            t = blk(t)
+            if i in self.feat_blocks:
+                feats.append(t[:, 1:])
+        x = torch.cat(feats, dim=2)  # (B, N, 4*D)
+        x = x.transpose(1, 2)  # (B, C, N)
+        for tab in self.tablock1:
+            x = tab(x)
+        x = x.view(b, -1, self.grid, self.grid)
+        x = self.conv1(x)
+        x = self.swintransformer1(x)
+        x = x.flatten(2)  # (B, C, N)
+        for tab in self.tablock2:
+            x = tab(x)
+        x = x.view(b, -1, self.grid, self.grid)
+        x = self.conv2(x)
+        x = self.swintransformer2(x)
+        tok = x.flatten(2).transpose(1, 2)  # (B, N, C)
+        s = self.fc_score(tok)
+        w = self.fc_weight(tok)
+        return (s * w).sum(dim=(1, 2)) / w.sum(dim=(1, 2)).clamp_min(1e-8)
+
+
+# ----------------------------------------------------- RetinaFace decode ---
+
+
+def torch_priorbox(h, w, steps=(8, 16, 32),
+                   min_sizes=((16, 32), (64, 128), (256, 512))):
+    """Official biubug6/Pytorch_Retinaface layers/functions/prior_box.py
+    PriorBox.forward (clip=False)."""
+    anchors = []
+    feature_maps = [(math.ceil(h / s), math.ceil(w / s)) for s in steps]
+    for k, (fh, fw) in enumerate(feature_maps):
+        for i in range(fh):
+            for j in range(fw):
+                for min_size in min_sizes[k]:
+                    s_kx = min_size / w
+                    s_ky = min_size / h
+                    cx = (j + 0.5) * steps[k] / w
+                    cy = (i + 0.5) * steps[k] / h
+                    anchors.append([cx, cy, s_kx, s_ky])
+    return torch.tensor(anchors, dtype=torch.float32)
+
+
+def torch_decode(loc, priors, variances=(0.1, 0.2)):
+    """Official utils/box_utils.py decode()."""
+    boxes = torch.cat((
+        priors[:, :2] + loc[:, :2] * variances[0] * priors[:, 2:],
+        priors[:, 2:] * torch.exp(loc[:, 2:] * variances[1])), 1)
+    boxes = boxes.clone()
+    boxes[:, :2] -= boxes[:, 2:] / 2
+    boxes[:, 2:] += boxes[:, :2]
+    return boxes
+
+
+def torch_decode_landm(pre, priors, variances=(0.1, 0.2)):
+    """Official utils/box_utils.py decode_landm()."""
+    return torch.cat(
+        tuple(priors[:, :2] + pre[:, 2 * i:2 * i + 2] * variances[0] * priors[:, 2:]
+              for i in range(5)), dim=1)
+
+
+def torch_nms(boxes, scores, thresh):
+    """Official utils/nms/py_cpu_nms.py (plus-one-free variant used by the
+    retinaface repo's py_cpu_nms with areas computed WITHOUT +1? The repo
+    uses (x2-x1+1); on normalized-to-pixel boxes our implementation uses the
+    modern +1-free form — compare with the same form here, the +1 variant
+    is a documented deviation for sub-pixel boxes)."""
+    x1, y1, x2, y2 = boxes.T
+    areas = (x2 - x1) * (y2 - y1)
+    order = scores.argsort(descending=True)
+    keep = []
+    while order.numel():
+        i = int(order[0])
+        keep.append(i)
+        if order.numel() == 1:
+            break
+        xx1 = torch.maximum(x1[i], x1[order[1:]])
+        yy1 = torch.maximum(y1[i], y1[order[1:]])
+        xx2 = torch.minimum(x2[i], x2[order[1:]])
+        yy2 = torch.minimum(y2[i], y2[order[1:]])
+        inter = (xx2 - xx1).clamp_min(0) * (yy2 - yy1).clamp_min(0)
+        iou = inter / (areas[i] + areas[order[1:]] - inter).clamp_min(1e-9)
+        order = order[1:][iou <= thresh]
+    return keep

@@ -1,0 +1,259 @@
+"""PRODUCTION-WIDTH parity pass (VERDICT r3 item 3), opt-in via
+``IR_FULLWIDTH=1``.
+
+The regular suite runs every converter+model parity test at reduced widths
+(fast, catches logic bugs); this module runs the same oracles at the REAL
+deployment sizes — depth-28/1152/heads-16 PixArt-XL-2 (+ControlNet-Half,
+copy_blocks 13), 180-embed/8x6 SwinIR, real sd-vae dims (ch 128, mult
+1/2/4/4) — so width-dependent layout bugs (head splits, channel-group
+reshapes, conv layouts that only misalign at odd widths) cannot hide.
+Reference model sizes: /root/reference/test_scripts/inference.py:236-248,
+configs/swinir.yaml:1-17, diffusion/model/nets/PixArt.py:313-315.
+
+Run (takes tens of minutes on the 1-core CPU host; results recorded in
+PARITY.md §full-width):
+
+    IR_FULLWIDTH=1 env -u PALLAS_AXON_POOL_IPS PYTHONPATH= \
+        JAX_PLATFORMS=cpu python -m pytest tests/test_fullwidth_parity.py -s -q
+"""
+
+import os
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("IR_FULLWIDTH") != "1",
+    reason="full-width parity pass is opt-in (IR_FULLWIDTH=1); see PARITY.md",
+)
+
+
+def _report(name, got, want, atol, rtol):
+    got, want = np.asarray(got), np.asarray(want)
+    diff = np.abs(got - want)
+    print(
+        f"\n[fullwidth] {name}: max_abs={diff.max():.3e} "
+        f"mean_abs={diff.mean():.3e} out_absmax={np.abs(want).max():.3e}"
+    )
+    np.testing.assert_allclose(got, want, atol=atol, rtol=rtol)
+
+
+def test_swinir_production_width():
+    from instarevive_tpu.convert import torch_export as E
+    from instarevive_tpu.convert.torch_import import swinir_params_from_torch
+    from instarevive_tpu.models.swinir import SwinIR
+
+    from tests.oracles import load_reference_swinir_module
+
+    mod = load_reference_swinir_module()
+    depths = (6,) * 8
+    torch.manual_seed(0)
+    ref = mod.SwinIR(
+        img_size=64, patch_size=1, in_chans=3, embed_dim=180,
+        depths=list(depths), num_heads=[6] * 8, window_size=8, mlp_ratio=2.0,
+        sf=8, img_range=1.0, upsampler="nearest+conv", resi_connection="1conv",
+        unshuffle=True, unshuffle_scale=8,
+    ).eval()
+    params = swinir_params_from_torch(
+        ref.state_dict(), depths=depths, upsampler="nearest+conv", sf=8
+    )
+    ours = SwinIR(embed_dim=180, depths=depths, num_heads=(6,) * 8, window=8,
+                  mlp_ratio=2.0, sf=8, unshuffle=True, unshuffle_scale=8)
+
+    rng = np.random.default_rng(0)
+    x = rng.random((1, 64, 64, 3), dtype=np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    got = ours.apply({"params": params}, jnp.asarray(x))
+    _report("SwinIR-180/8x6", got, want.transpose(0, 2, 3, 1),
+            atol=2e-4, rtol=1e-3)
+
+    # exporter round trip at the same width must be bit-exact
+    back = swinir_params_from_torch(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in
+         E.swinir_params_to_torch(params, depths=depths, sf=8).items()},
+        depths=depths, upsampler="nearest+conv", sf=8,
+    )
+    import jax
+
+    for (ka, va), (kb, vb) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(params)),
+        sorted(jax.tree_util.tree_leaves_with_path(back)),
+    ):
+        assert ka == kb
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+
+
+def test_vae_production_width():
+    from instarevive_tpu.convert import torch_export as E
+    from instarevive_tpu.convert.torch_import import vae_params_from_torch
+    from instarevive_tpu.models.vae import AutoencoderKL
+
+    from tests.oracles import load_reference_ldm
+
+    ae = load_reference_ldm()
+    ddconfig = dict(
+        double_z=True, z_channels=4, resolution=256, in_channels=3, out_ch=3,
+        ch=128, ch_mult=[1, 2, 4, 4], num_res_blocks=2, attn_resolutions=[],
+        dropout=0.0,
+    )
+    torch.manual_seed(0)
+    ref = ae.AutoencoderKL(
+        ddconfig=ddconfig, lossconfig={"target": "torch.nn.Identity"},
+        embed_dim=4,
+    ).eval()
+    params = vae_params_from_torch(ref.state_dict(), ch_mult=[1, 2, 4, 4],
+                                   num_res_blocks=2)
+    ours = AutoencoderKL(ch=128, ch_mult=(1, 2, 4, 4), num_res_blocks=2,
+                         z_channels=4, embed_dim=4)
+
+    rng = np.random.default_rng(0)
+    x = rng.random((1, 64, 64, 3), dtype=np.float32) * 2 - 1
+    with torch.no_grad():
+        post = ref.encode(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        want_mode = post.mode().numpy()
+        want_dec = ref.decode(post.mode()).numpy()
+    got_mode = ours.apply({"params": params}, jnp.asarray(x),
+                          method=ours.encode_mode)
+    _report("sd-vae encode(mode)", got_mode, want_mode.transpose(0, 2, 3, 1),
+            atol=2e-4, rtol=1e-3)
+    got_dec = ours.apply({"params": params}, jnp.asarray(np.asarray(got_mode)),
+                         method=ours.decode)
+    _report("sd-vae decode", got_dec, want_dec.transpose(0, 2, 3, 1),
+            atol=5e-4, rtol=1e-3)
+
+    back = vae_params_from_torch(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in
+         E.vae_params_to_torch(params, ch_mult=[1, 2, 4, 4],
+                               num_res_blocks=2).items()},
+        ch_mult=[1, 2, 4, 4], num_res_blocks=2,
+    )
+    import jax
+
+    for (ka, va), (kb, vb) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(params)),
+        sorted(jax.tree_util.tree_leaves_with_path(back)),
+    ):
+        assert ka == kb
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+
+
+XL2 = dict(
+    input_size=64, patch_size=2, in_channels=4, hidden_size=1152, depth=28,
+    num_heads=16, mlp_ratio=4.0, caption_channels=4096, model_max_length=300,
+)
+
+
+@pytest.fixture(scope="module")
+def xl2_ref():
+    from tests.oracles import load_reference_pixart
+
+    pixart_mod, _, cn_mod = load_reference_pixart()
+    torch.manual_seed(0)
+    ref = pixart_mod.PixArt(**{
+        k: v for k, v in XL2.items()
+    }).eval()
+    return ref, cn_mod
+
+
+def test_pixart_xl2_production_width(xl2_ref):
+    from instarevive_tpu.convert import torch_export as E
+    from instarevive_tpu.convert.torch_import import (
+        pixart_params_from_diffusers,
+        pixart_params_from_torch,
+    )
+    from instarevive_tpu.models.pixart import PixArt
+
+    ref, _ = xl2_ref
+    params = pixart_params_from_torch(ref.state_dict(), depth=XL2["depth"])
+    ours = PixArt(**XL2)
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 64, 64, 4), dtype=np.float32)
+    t = np.array([400.0], dtype=np.float32)
+    y = rng.standard_normal((1, XL2["model_max_length"], 4096),
+                            dtype=np.float32)
+    mask = np.zeros((1, XL2["model_max_length"]), np.int64)
+    mask[0, :77] = 1  # realistic variable-length text
+
+    with torch.no_grad():
+        want = ref(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)), torch.from_numpy(t),
+            torch.from_numpy(y[:, None]), mask=torch.from_numpy(mask),
+        ).numpy()
+    got = ours.apply(
+        {"params": params}, jnp.asarray(x), jnp.asarray(t), jnp.asarray(y),
+        y_mask=jnp.asarray(mask.astype(bool)),
+    )
+    _report("PixArt-XL-2 (d28/1152/h16)", got, want.transpose(0, 2, 3, 1),
+            atol=2e-3, rtol=2e-3)
+
+    # both exporter dialects round-trip bit-exact at full width
+    import jax
+
+    for dialect, exp, imp in (
+        ("native", E.pixart_params_to_torch, pixart_params_from_torch),
+        ("diffusers", E.pixart_params_to_diffusers, pixart_params_from_diffusers),
+    ):
+        sd = {k: torch.from_numpy(np.asarray(v))
+              for k, v in exp(params, depth=XL2["depth"]).items()}
+        back = imp(sd, depth=XL2["depth"])
+        if "y_embedding" not in back.get("y_embedder", {}):
+            back.setdefault("y_embedder", {})["y_embedding"] = (
+                params["y_embedder"]["y_embedding"])
+        la = sorted(jax.tree_util.tree_leaves_with_path(params))
+        lb = sorted(jax.tree_util.tree_leaves_with_path(back))
+        assert [k for k, _ in la] == [k for k, _ in lb], dialect
+        for (ka, va), (_, vb) in zip(la, lb):
+            np.testing.assert_array_equal(np.asarray(va), np.asarray(vb),
+                                          err_msg=f"{dialect}:{ka}")
+
+
+def test_controlnet_half_xl2_production_width(xl2_ref):
+    import copy
+
+    from instarevive_tpu.convert.torch_import import pixart_params_from_torch
+    from instarevive_tpu.models.pixart import PixArt
+
+    ref, cn_mod = xl2_ref
+    torch.manual_seed(1)
+    base = copy.deepcopy(ref)
+    for blk in base.blocks:
+        blk.hidden_size = XL2["hidden_size"]
+    ctrl = cn_mod.ControlPixArtHalf(base, copy_blocks_num=13).eval()
+    with torch.no_grad():  # zero-init projections -> real values
+        for blk in ctrl.controlnet:
+            blk.after_proj.weight.normal_(0, 0.02)
+            blk.after_proj.bias.normal_(0, 0.02)
+        ctrl.controlnet[0].before_proj.weight.normal_(0, 0.02)
+        ctrl.controlnet[0].before_proj.bias.normal_(0, 0.02)
+
+    params = pixart_params_from_torch(
+        {("base_model." in k and k.replace("base_model.", "") or k): v
+         for k, v in ctrl.state_dict().items()},
+        depth=XL2["depth"],
+    )
+    ours = PixArt(**XL2)
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((1, 64, 64, 4), dtype=np.float32)
+    c = rng.standard_normal((1, 64, 64, 4), dtype=np.float32)
+    t = np.array([400.0], dtype=np.float32)
+    y = rng.standard_normal((1, XL2["model_max_length"], 4096),
+                            dtype=np.float32)
+
+    with torch.no_grad():
+        want = ctrl(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)), torch.from_numpy(t),
+            torch.from_numpy(y[:, None]),
+            c=torch.from_numpy(c.transpose(0, 3, 1, 2)),
+        ).numpy()
+    got = ours.apply(
+        {"params": params}, jnp.asarray(x), jnp.asarray(t), jnp.asarray(y),
+        c=jnp.asarray(c), control_depth=13,
+    )
+    _report("ControlPixArtHalf-XL-2 (copy13)", got, want.transpose(0, 2, 3, 1),
+            atol=2e-3, rtol=2e-3)

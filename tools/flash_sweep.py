@@ -90,6 +90,8 @@ def main():
     p.add_argument("--blocks_k", default="128,256,512,1024,2048,4096")
     p.add_argument("--table", action="store_true",
                    help="sweep TABLE_SHAPES and write ops/flash_blocks.json")
+    p.add_argument("--force", action="store_true",
+                   help="overwrite e2e-refit table entries with sweep winners")
     args = p.parse_args()
 
     import jax
@@ -133,16 +135,38 @@ def main():
                           "candidates_tried": len(results)}
         print(f"[{label}] BEST bq={bq} bk={bk} {dt*1e6:.1f} us -> table[{key}]")
 
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "instarevive_tpu", "ops", "flash_blocks.json")
+    # Entries marked e2e_refit in the existing table were chosen by
+    # END-TO-END bench A/B (block shape interacts with fusion/overlap in
+    # context; BENCH.md round 3) — the isolated-kernel sweep must not
+    # silently revert them. Preserve unless --force.
+    refit = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            existing = json.load(f)
+        refit = existing.get("e2e_refit", {})
+        if not args.force:
+            for key, note in refit.items():
+                if key in table and key in existing.get("table", {}):
+                    if table[key] != existing["table"][key]:
+                        print(f"[keep] {key}: e2e-refit {existing['table'][key]} "
+                              f"kept over sweep winner {table[key]} ({note}); "
+                              f"--force to override")
+                    table[key] = existing["table"][key]
     out = {
         "comment": "fitted by tools/flash_sweep.py --table on real TPU; "
                    "keys are nq_bucket:nk_bucket (pow2); env FLASH_BLOCK_Q/K "
-                   "override",
+                   "override. Entries listed under e2e_refit were REFIT "
+                   "against the end-to-end bench (e2e evidence overrides the "
+                   "microbench) and are preserved across sweeps unless "
+                   "--force is given.",
         "device": str(jax.devices()[0]),
         "table": table,
         "details": details,
     }
-    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                        "instarevive_tpu", "ops", "flash_blocks.json")
+    if refit and not args.force:
+        out["e2e_refit"] = refit
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {path}")
