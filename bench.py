@@ -69,8 +69,13 @@ def main():
 
     mode = os.environ.get("BENCH_MODE", "plain")  # plain | tiled
     if mode == "tiled":
+        # geometry knobs for the tile/stride sweep (BENCH.md §tiled): the
+        # reference default is 512/448 (test_scripts/inference.py:182-183);
+        # alternate geometries trade overlap work vs per-tile DiT cost.
+        tile = int(os.environ.get("BENCH_TILE", "512"))
+        stride = int(os.environ.get("BENCH_STRIDE", "448"))
         step = lambda p, x, yy: pipe.process_tiled(
-            p, x, yy, tile_size=512, tile_stride=448, color_fix="wavelet"
+            p, x, yy, tile_size=tile, tile_stride=stride, color_fix="wavelet"
         )
     else:
         step = lambda p, x, yy: pipe.process(p, x, yy, color_fix="wavelet")
