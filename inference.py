@@ -40,6 +40,11 @@ def parse_args(argv=None):
     p.add_argument("--tiled", action="store_true")
     p.add_argument("--tile_size", type=int, default=512)
     p.add_argument("--tile_stride", type=int, default=448)
+    p.add_argument("--tile_auto", action="store_true",
+                   help="pick tile_size/tile_stride per image size to "
+                        "minimize overlap work (e.g. 1024^2: 576/512 = 4 "
+                        "tiles vs the default 512/448 = 9; measured +27% "
+                        "throughput, BENCH.md round 4)")
     p.add_argument("--color_fix_type", type=str, default="wavelet",
                    choices=["wavelet", "adain", "none"])
     p.add_argument("--show_lq", action="store_true")
@@ -117,15 +122,21 @@ def main(argv=None):
     fns = {}  # (h, w) -> jitted process
 
     def get_fn(h, w):
-        key = (h, w, args.tiled)
+        tile, stride = args.tile_size, args.tile_stride
+        if args.tiled and args.tile_auto:
+            from instarevive_tpu.pipelines.restore import auto_tile_geometry
+
+            tile, stride = auto_tile_geometry(h, w)
+        use_tiled = args.tiled and min(h, w) > tile
+        key = (h, w, use_tiled, tile, stride)
         if key not in fns:
             fns[key] = pipe.jitted(
-                tiled=args.tiled and min(h, w) > args.tile_size,
+                tiled=use_tiled,
                 use_swinir=not args.disable_preprocess_model,
                 color_fix=args.color_fix_type,
                 **(
-                    dict(tile_size=args.tile_size, tile_stride=args.tile_stride)
-                    if (args.tiled and min(h, w) > args.tile_size)
+                    dict(tile_size=tile, tile_stride=stride)
+                    if use_tiled
                     else {}
                 ),
             )

@@ -51,6 +51,44 @@ def tile_grid(h: int, w: int, tile: int, stride: int) -> np.ndarray:
     return np.stack(np.meshgrid(hs, ws, indexing="ij"), axis=-1).reshape(-1, 2)
 
 
+def auto_tile_geometry(
+    h: int,
+    w: int,
+    *,
+    overlap: int = 64,
+    candidates: Tuple[int, ...] = (512, 576, 640),
+    latent_factor: int = 8,
+) -> Tuple[int, int]:
+    """Pick (tile_size, tile_stride) minimizing total tile work for an
+    (h, w) padded image.
+
+    The reference hardcodes 512/448 (test_scripts/inference.py:182-183),
+    which covers 1024x1024 with 9 tiles = 2.25x overlap work; 576/512
+    covers it in 4 tiles (1.27x) and measured +27% end-to-end on v5e
+    (BENCH.md round 4: 3.01 -> 3.82 MP/s). Candidates keep the reference's
+    64 px blend overlap; cost = n_tiles * tile^2, since per-tile DiT+decode
+    cost tracks tile area at these sizes. The grid is computed in latent
+    units exactly as ``process_tiled`` builds it, so end-aligned final
+    tiles are costed correctly.
+    """
+    f = latent_factor
+    best = None
+    for tile in candidates:
+        if tile > min(h, w):
+            continue
+        stride = tile - overlap
+        n = len(sliding_offsets(h // f, tile // f, stride // f)) * len(
+            sliding_offsets(w // f, tile // f, stride // f)
+        )
+        cost = n * tile * tile
+        if best is None or cost < best[0]:
+            best = (cost, tile, stride)
+    if best is None:  # image smaller than every candidate: one full tile
+        tile = max(64, (min(h, w) // 64) * 64)
+        return tile, max(64, tile - overlap)
+    return best[1], best[2]
+
+
 def _packed_decode() -> bool:
     """IR_PACKED_DECODE=1: decode a batch as ONE N=1 grouped-conv program
     (ops/packed_vae.py) instead of the per-sample lax.map; read at trace

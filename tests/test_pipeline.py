@@ -34,6 +34,27 @@ def test_sliding_offsets_match_reference_semantics():
     assert tile_grid(128, 192, 64, 56).shape == (3 * 4, 2)
 
 
+def test_auto_tile_geometry():
+    from instarevive_tpu.pipelines.restore import auto_tile_geometry
+
+    # 1024^2: 576/512 covers in 4 tiles (1.27x work) vs 512/448's 9 (2.25x)
+    assert auto_tile_geometry(1024, 1024) == (576, 512)
+    # 2048^2: 16x576^2 (1.27x) beats 25x512^2 and 16x640^2 (both 1.56x)
+    assert auto_tile_geometry(2048, 2048) == (576, 512)
+    # rectangular: valid geometry, fits the short edge
+    t, s = auto_tile_geometry(832, 1472)
+    assert t <= 832 and s == t - 64 and t % 64 == 0
+    # image smaller than all candidates: one full ×64 tile
+    t, s = auto_tile_geometry(448, 448)
+    assert t == 448 and s <= t
+    # picked geometry actually tiles: every latent offset in range
+    for h, w in ((1024, 1024), (832, 1472), (1088, 1088)):
+        t, s = auto_tile_geometry(h, w)
+        offs = tile_grid(h // 8, w // 8, t // 8, s // 8)
+        assert (offs[:, 0] + t // 8 <= h // 8).all()
+        assert (offs[:, 1] + t // 8 <= w // 8).all()
+
+
 def test_process_shapes_and_finite(tiny):
     pipe, params, y = tiny
     lq = jnp.clip(jax.random.uniform(jax.random.key(1), (1, 128, 128, 3)), 0, 1)
