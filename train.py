@@ -246,8 +246,17 @@ def main():
                 )
                 return step(gen_state, fake_state, dmd_batch, k, cond)
 
-            dmd_step = jax.jit(_dmd_step_fn)
+            # donate BOTH train states: without donation XLA double-buffers
+            # input+output state (~9.7 GiB for the two XL-2 states) and the
+            # bs2 512^2 step OOMs on one chip — the measured 283 ms/step
+            # recipe (tools/tpu_train_step_check.py:125) always donated.
+            dmd_step = jax.jit(_dmd_step_fn, donate_argnums=(0, 1))
+            # encode needs only the VAE subtree; keeping the full init tree
+            # alive would hold a stale f32 DiT copy (~2.5 GiB) on device
+            vae_params = {"vae": params["vae"]}
             enc_jit = jax.jit(lambda p, img01: pipe.encode(p, img01))
+            del params["dit"]
+            params.pop("swinir", None)
 
             pair_loader = None
             pair_prefetch = None
@@ -288,7 +297,7 @@ def main():
                     if "txt_fea" in pair:  # real prompt embeds from --dmd_t5_dir
                         y_step = _fit_tokens(pair["txt_fea"])
                 else:
-                    latent = enc_jit(params, (batch["hq"] + 1.0) / 2.0)
+                    latent = enc_jit(vae_params, (batch["hq"] + 1.0) / 2.0)
                     noise = jax.random.normal(k1, latent.shape)
                     dmd_batch = {"noise": noise, "latent": latent}
                 gen_state, fake_state, m = dmd_step(
@@ -435,17 +444,28 @@ def main():
                     logger.info("degradation program compiled")
                 try:
                     states, metrics = run_step(states, data, sk)
+                    # fetch scalars here so async device errors (OOM etc.)
+                    # surface inside the recovery scope, not one line below
+                    metrics = {k: float(v) for k, v in metrics.items()
+                               if getattr(v, "ndim", 0) == 0}
                 except Exception:
                     # crash recovery (SURVEY §5 failure detection): dump an
-                    # emergency full-state checkpoint before propagating
-                    ckpt.save_train_state(
-                        os.path.join(args.out, f"crash_step_{step_i}"),
-                        states, key, step_i,
-                    )
-                    logger.exception(f"step {step_i} failed; emergency checkpoint saved")
+                    # emergency full-state checkpoint before propagating.
+                    # Best-effort: with donated step buffers (dmd) the
+                    # pre-step state may already be invalidated.
+                    try:
+                        ckpt.save_train_state(
+                            os.path.join(args.out, f"crash_step_{step_i}"),
+                            states, key, step_i,
+                        )
+                        logger.exception(
+                            f"step {step_i} failed; emergency checkpoint saved")
+                    except Exception:
+                        logger.exception(
+                            f"step {step_i} failed; emergency checkpoint "
+                            "unavailable (donated buffers)")
                     raise
-                buf.update({k: float(v) for k, v in metrics.items()
-                            if getattr(v, "ndim", 0) == 0})
+                buf.update(metrics)
                 step_i += 1
                 msg = timer.update()
                 if msg:
