@@ -12,14 +12,14 @@ PHASE="${1:-phase1}"
 if [ "$PHASE" = "phase1" ]; then
   python train.py --task dmd --config configs/instarevive_v1.yaml \
     --data data_train --out "$OUT" \
-    --batch_size 2 --crop_size 512 --steps 300 --lowmem --remat_policy dots \
+    --batch_size 2 --crop_size 512 --steps 300 --bf16 --lowmem --remat_policy dots \
     --lr 1e-5 --warmup 100 --checkpointing_steps 100 --log_every 10 --seed 0 \
     & echo $! > /tmp/train_prod.pid
   wait
 else
   python train.py --task dmd --config configs/instarevive_v1.yaml \
     --data data_train --out "$OUT" \
-    --batch_size 2 --crop_size 512 --steps 300 --lowmem --remat_policy dots \
+    --batch_size 2 --crop_size 512 --steps 300 --bf16 --lowmem --remat_policy dots \
     --lr 1e-5 --warmup 100 --checkpointing_steps 100 --log_every 10 --seed 0 \
     --resume "$OUT/step_100"
 fi

@@ -137,7 +137,11 @@ def main():
             dit_cfg["remat_policy"] = args.remat_policy
         cfg = dict(cfg)
         cfg["dit"] = dit_cfg
-    pipe = build_pipeline(cfg)
+    # --bf16 = mixed precision: every matmul/conv computes in bf16 while
+    # params stay f32 master (the reference trains fp16/bf16 via Accelerate,
+    # scripts/run_pixart_dmd.py:110-113; the measured 283 ms/step DMD recipe
+    # is bf16 compute — f32 compute does not fit bs2 on one chip)
+    pipe = build_pipeline(cfg, dtype=jnp.bfloat16 if args.bf16 else None)
     mesh = make_mesh(fsdp=args.fsdp)
     # cldm/reflow bring their own UNet denoiser — don't pay the DiT init
     needed = ("swinir", "vae") if args.task in ("cldm", "reflow") else None
