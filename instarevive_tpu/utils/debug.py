@@ -71,19 +71,21 @@ def activation_stats(name: str, x: jnp.ndarray):
 class SimpleTimer:
     """ETA logger (misc.py:85-105)."""
 
-    def __init__(self, total: int, log_interval: int = 1, desc: str = ""):
+    def __init__(self, total: int, log_interval: int = 1, desc: str = "",
+                 initial: int = 0):
         self.total = total
         self.log_interval = log_interval
         self.desc = desc
         self.start = time.time()
-        self.count = 0
+        self.initial = initial  # resumed runs: display absolute step
+        self.count = initial
 
     def update(self, n: int = 1) -> Optional[str]:
         self.count += n
         if self.count % self.log_interval:
             return None
         elapsed = time.time() - self.start
-        rate = self.count / max(elapsed, 1e-9)
+        rate = (self.count - self.initial) / max(elapsed, 1e-9)
         eta = (self.total - self.count) / max(rate, 1e-9)
         return (
             f"{self.desc}[{self.count}/{self.total}] "

@@ -191,6 +191,7 @@ def main():
                 return (state,), m
 
             states = (state,)
+            del state  # see dmd branch: stale locals pin device buffers across --resume
         elif args.task == "dmd":
             y = jnp.zeros(
                 (args.batch_size, pipe.dit.model_max_length, pipe.dit.caption_channels)
@@ -310,6 +311,10 @@ def main():
                 return (gen_state, fake_state), m
 
             states = (gen_state, fake_state)
+            # the tuple owns the states now — stale locals would keep the
+            # fresh device buffers (~11.4 GiB at XL-2) alive through a
+            # --resume restore, doubling state HBM and OOMing commit_states
+            del gen_state, fake_state
         else:  # cldm | reflow: the LDM/ControlNet stack (configs/cldm.yaml)
             import optax
 
@@ -413,6 +418,7 @@ def main():
                 return (state, ts_state), m
 
             states = (state, ts0)
+            del state  # see dmd branch: stale locals pin device buffers across --resume
 
         step_i = 0
         if args.resume:
@@ -435,7 +441,18 @@ def main():
         states = tuple(
             commit_states(s, mesh) if hasattr(s, "opt_state") else s for s in states
         )
+        if step_i:  # resumed: progress display shows absolute steps
+            timer = SimpleTimer(args.steps, log_interval=args.log_every,
+                                initial=step_i)
         logger.info("train state ready; entering loop")
+        # one-step-delayed metrics fetch: materializing step i's scalars
+        # immediately blocks the host on device completion, serializing the
+        # whole data path (JPEG decode + degrade/encode dispatches) against
+        # the chip — measured 630 ms/step wall for a 283 ms device step.
+        # Fetching step i-1's metrics AFTER dispatching step i keeps the
+        # device queue fed (<= 2 steps in flight) while the host prepares
+        # the next batch.
+        pending_metrics = None
         while step_i < args.steps:
             for batch in loader:
                 if step_i >= args.steps:
@@ -447,11 +464,16 @@ def main():
                     jax.block_until_ready(jax.tree_util.tree_leaves(data))
                     logger.info("degradation program compiled")
                 try:
-                    states, metrics = run_step(states, data, sk)
-                    # fetch scalars here so async device errors (OOM etc.)
-                    # surface inside the recovery scope, not one line below
-                    metrics = {k: float(v) for k, v in metrics.items()
-                               if getattr(v, "ndim", 0) == 0}
+                    states, step_metrics = run_step(states, data, sk)
+                    # fetch the PREVIOUS step's scalars (device almost
+                    # certainly done with it) inside the recovery scope so
+                    # async device errors (OOM etc.) surface here
+                    metrics, pending_metrics = (
+                        {k: float(v) for k, v in pending_metrics.items()
+                         if getattr(v, "ndim", 0) == 0}
+                        if pending_metrics is not None else None,
+                        step_metrics,
+                    )
                 except Exception:
                     # crash recovery (SURVEY §5 failure detection): dump an
                     # emergency full-state checkpoint before propagating.
@@ -469,7 +491,8 @@ def main():
                             f"step {step_i} failed; emergency checkpoint "
                             "unavailable (donated buffers)")
                     raise
-                buf.update(metrics)
+                if metrics is not None:
+                    buf.update(metrics)
                 step_i += 1
                 msg = timer.update()
                 if msg:
@@ -482,7 +505,15 @@ def main():
                     )
                     logger.info(f"checkpoint at step {step_i}")
 
-        ckpt.save_train_state(os.path.join(args.out, "final"), states, key, step_i)
+        if pending_metrics is not None:  # drain the delayed fetch
+            buf.update({k: float(v) for k, v in pending_metrics.items()
+                        if getattr(v, "ndim", 0) == 0})
+        if step_i % args.checkpointing_steps == 0 and step_i:
+            # the loop just wrote step_<N> with identical contents — don't
+            # pay a second multi-GiB save (8.5 GiB / ~7 min at XL-2 scale)
+            logger.info(f"final state already checkpointed at step_{step_i}")
+        else:
+            ckpt.save_train_state(os.path.join(args.out, "final"), states, key, step_i)
         writer.flush()
         logger.info("done")
 
