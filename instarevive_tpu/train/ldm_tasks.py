@@ -1,9 +1,10 @@
-"""LatentDiffusion task variants: base, inpainting, upscaling.
+"""LatentDiffusion task variants: base, inpaint, upscale, depth2image.
 
 Parity target: reference ``ldm/models/diffusion/ddpm.py`` LatentDiffusion
 (:823-1368) and its task subclasses (:1368-1811 — LatentInpaintDiffusion
-concat-mode masked conditioning, LatentUpscaleDiffusion low-res concat).
-Depth2Image is intentionally out (vendored MiDaS, unused by InstaRevive).
+concat-mode masked conditioning, LatentUpscaleDiffusion low-res concat,
+LatentDepth2ImageDiffusion depth concat with a pluggable depth source —
+the vendored MiDaS estimator itself stays a documented gap, PARITY.md).
 
 Expressed as pure loss functions over a UNetBackbone whose in_channels is
 widened for the concat conditioning (inpaint: 4+4+1=9; upscale: 4+4=8, the
@@ -88,3 +89,30 @@ class LatentDiffusionTask:
         lq = interpolate(batch["lq"], batch["hq"].shape[1:3], mode="bicubic")
         lq_z = self.encode(frozen, lq)
         return self.loss(params, frozen, batch, rng, extra_cond=lq_z)
+
+    def depth_conditioning(self, depth, latent_hw):
+        """Exact LatentDepth2ImageDiffusion conditioning math
+        (ddpm.py:1716-1734): bicubic resize to the latent grid, then
+        per-sample min-max normalize to [-1, 1] (denominator eps 0.001)."""
+        cc = interpolate(depth, latent_hw, mode="bicubic")
+        dmin = jnp.min(cc, axis=(1, 2, 3), keepdims=True)
+        dmax = jnp.max(cc, axis=(1, 2, 3), keepdims=True)
+        return 2.0 * (cc - dmin) / (dmax - dmin + 0.001) - 1.0
+
+    def depth2image_loss(self, params, frozen, batch, rng, depth_fn=None):
+        """Depth-conditioned generation (LatentDepth2ImageDiffusion,
+        ddpm.py:1698-1750): UNet input = [z_t, normalized depth] (5
+        channels, concat mode like inpaint/upscale).
+
+        The reference computes depth with vendored MiDaS; the depth SOURCE
+        is pluggable here — pass precomputed maps as ``batch['depth']``
+        ((B, H', W', 1), any resolution) or a ``depth_fn(hq) -> (B,H,W,1)``
+        estimator. MiDaS itself stays a documented gap (timm is absent in
+        this environment, so even the reference cannot instantiate it —
+        PARITY.md); the task math is exact parity.
+        """
+        depth = depth_fn(batch["hq"]) if depth_fn is not None else batch["depth"]
+        f = 2 ** (len(self.vae.ch_mult) - 1)  # VAE spatial factor
+        latent_hw = (batch["hq"].shape[1] // f, batch["hq"].shape[2] // f)
+        cc = self.depth_conditioning(depth, latent_hw)
+        return self.loss(params, frozen, batch, rng, extra_cond=cc)

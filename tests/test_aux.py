@@ -230,6 +230,9 @@ def test_ldm_task_variants():
         ("loss", 4, {}, "v"),
         ("inpaint_loss", 9, {"mask": jnp.zeros((2, 16, 16, 1)).at[:, 4:12, 4:12].set(1.0)}, "eps"),
         ("upscale_loss", 8, {"lq": jnp.zeros((2, 8, 8, 3))}, "eps"),
+        ("depth2image_loss", 5,
+         {"depth": jnp.asarray(np.random.default_rng(7).standard_normal(
+             (2, 24, 24, 1), dtype=np.float32))}, "eps"),
     ]
     for fn_name, in_ch, extra, param in cases:
         unet = UNetBackbone(in_channels=in_ch, model_channels=32, num_head_channels=16,
@@ -244,6 +247,29 @@ def test_ldm_task_variants():
         g = jax.grad(lambda p: getattr(task, fn_name)(p, frozen, batch, jax.random.key(1))[0])(params)
         leaves = jax.tree_util.tree_leaves(g)
         assert any(np.abs(np.asarray(leaf)).max() > 0 for leaf in leaves), fn_name
+
+
+def test_depth_conditioning_matches_reference_math():
+    """LatentDepth2ImageDiffusion.get_input's conditioning transform
+    (ddpm.py:1724-1733): bicubic resize to latent hw (align_corners=False)
+    + per-sample min-max normalize with denominator eps 0.001."""
+    from instarevive_tpu.models.vae import AutoencoderKL
+    from instarevive_tpu.train.ldm_tasks import LatentDiffusionTask
+
+    rng = np.random.default_rng(11)
+    depth = rng.standard_normal((2, 32, 32, 1), dtype=np.float32) * 3 + 5
+    want_t = torch.nn.functional.interpolate(
+        torch.from_numpy(depth.transpose(0, 3, 1, 2)), size=(8, 8),
+        mode="bicubic", align_corners=False)
+    dmin = torch.amin(want_t, dim=[1, 2, 3], keepdim=True)
+    dmax = torch.amax(want_t, dim=[1, 2, 3], keepdim=True)
+    want = (2.0 * (want_t - dmin) / (dmax - dmin + 0.001) - 1.0).numpy()
+
+    task = LatentDiffusionTask(None, AutoencoderKL(ch=32, ch_mult=(1, 2)),
+                               make_schedule("ldm_linear", 100))
+    got = task.depth_conditioning(jnp.asarray(depth), (8, 8))
+    np.testing.assert_allclose(
+        np.asarray(got), want.transpose(0, 2, 3, 1), atol=2e-5, rtol=2e-5)
 
 
 def test_plms_matches_reference_ladder():
