@@ -459,3 +459,22 @@ class PixArt(nn.Module):
 def pixart_xl_2(**kwargs) -> PixArt:
     """PixArt_XL_2 (PixArt.py:313-315)."""
     return PixArt(depth=28, hidden_size=1152, patch_size=2, num_heads=16, **kwargs)
+
+
+def pixart_ms_xl_2(**kwargs) -> PixArt:
+    """PixArtMS_XL_2 (PixArtMS.py:289-292): runtime per-(h,w) PE + conv
+    patch embed; enable ``micro_condition=True`` for the size/AR embeds."""
+    return PixArt(depth=28, hidden_size=1152, patch_size=2, num_heads=16, **kwargs)
+
+
+def pixart_ms_controlnet_xl_2(**kwargs) -> PixArt:
+    """PixArtMS_controlnet (controlnet.py:86-290).
+
+    Despite its name, the reference class's forward (controlnet.py:165-211)
+    contains NO control wiring — it is a functional duplicate of PixArtMS
+    (runtime per-(h,w) PE, conv patch embed, optional micro-conditioning),
+    parity-tested as such in tests/test_pixart.py. It maps to the same
+    unified PixArt module; pass ``c=``/``control_depth=`` at call time for
+    the functional ControlNet-Half path (pixart_controlnet.py) instead.
+    """
+    return PixArt(depth=28, hidden_size=1152, patch_size=2, num_heads=16, **kwargs)

@@ -275,6 +275,14 @@ def load_reference_pixart():
     return pixart, pixart_ms, cn
 
 
+def load_reference_pixart_ms_controlnet():
+    """Import the vestigial PixArtMS_controlnet (controlnet.py:86-290)."""
+    load_reference_pixart()
+    import importlib
+
+    return importlib.import_module("diffusion.model.nets.controlnet")
+
+
 def load_reference_diffusion():
     """Import reference gaussian_diffusion/respace/dpm_solver standalone."""
     _ensure_stubs()

@@ -105,6 +105,85 @@ def test_pixart_masked_text_matches(ref_and_ours):
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
 
 
+def test_pixart_ms_controlnet_matches():
+    """PixArtMS_controlnet (controlnet.py:86-290) is a PixArtMS duplicate
+    whose forward has no control wiring; verify our unified PixArt (with
+    micro-conditioning) reproduces the actual reference class."""
+    from instarevive_tpu.convert.torch_import import (
+        pixart_ms_extra_params_from_torch,
+    )
+
+    from tests.oracles import load_reference_pixart_ms_controlnet
+
+    cn = load_reference_pixart_ms_controlnet()
+    torch.manual_seed(3)
+    hidden = 96  # divisible by 3 for the size/AR embed split
+    ref = cn.PixArtMS_controlnet(
+        input_size=16,
+        patch_size=2,
+        in_channels=4,
+        hidden_size=hidden,
+        depth=2,
+        num_heads=4,
+        mlp_ratio=4.0,
+        caption_channels=32,
+        model_max_length=8,
+        micro_condition=True,
+    ).eval()
+    # initialize() zeroes cross-attn proj + final linear; randomize every
+    # param so the comparison is non-trivial end to end
+    with torch.no_grad():
+        for p_ in ref.parameters():
+            p_.data.normal_(0, 0.02)
+
+    params = pixart_params_from_torch(ref.state_dict(), depth=2)
+    params = pixart_ms_extra_params_from_torch(params, ref.state_dict())
+    ours = PixArt(
+        input_size=16,
+        patch_size=2,
+        in_channels=4,
+        hidden_size=hidden,
+        depth=2,
+        num_heads=4,
+        mlp_ratio=4.0,
+        caption_channels=32,
+        model_max_length=8,
+        micro_condition=True,
+    )
+
+    rng = np.random.default_rng(4)
+    b, latent, L = 2, 16, 8
+    x = rng.standard_normal((b, latent, latent, 4), dtype=np.float32)
+    t = np.array([400.0, 999.0], dtype=np.float32)
+    y = rng.standard_normal((b, L, 32), dtype=np.float32)
+    img_hw = np.array([[512.0, 512.0], [256.0, 384.0]], dtype=np.float32)
+    ar = np.array([[1.0], [0.6667]], dtype=np.float32)
+
+    with torch.no_grad():
+        want = ref(
+            torch.from_numpy(np.transpose(x, (0, 3, 1, 2))),
+            torch.from_numpy(t),
+            torch.from_numpy(y[:, None]),
+            data_info={
+                "img_hw": torch.from_numpy(img_hw),
+                "aspect_ratio": torch.from_numpy(ar),
+            },
+        ).numpy()
+    want = np.transpose(want, (0, 2, 3, 1))
+
+    got = np.asarray(
+        ours.apply(
+            {"params": params},
+            jnp.asarray(x),
+            jnp.asarray(t),
+            jnp.asarray(y),
+            data_info={"img_hw": jnp.asarray(img_hw), "aspect_ratio": jnp.asarray(ar)},
+        )
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
 def test_controlnet_half_matches(ref_and_ours):
     ref, cn_mod, ours, variables = ref_and_ours
     import copy
