@@ -381,3 +381,102 @@ def pixart_ms_extra_params_from_torch(p: Dict[str, Any], sd: Mapping[str, Any]) 
         _dense(p, "ar_embedder/fc1", sd, "ar_embedder.mlp.0")
         _dense(p, "ar_embedder/fc2", sd, "ar_embedder.mlp.2")
     return p
+
+
+# ----------------------------------------------------------------- MiDaS ---
+
+
+def _ws_conv(tree, flax_path, sd, torch_path, eps=1e-8, bias=False):
+    """StdConv2dSame: fold timm's runtime weight standardization (biased
+    variance over (I,kH,kW), eps 1e-8 in vision_transformer_hybrid) into
+    the stored kernel."""
+    w = _np(sd[torch_path + ".weight"]).astype(np.float64)
+    m = w.mean(axis=(1, 2, 3), keepdims=True)
+    v = w.var(axis=(1, 2, 3), keepdims=True)
+    w = ((w - m) / np.sqrt(v + eps)).astype(np.float32)
+    _set(tree, flax_path + "/kernel", w.transpose(2, 3, 1, 0))
+    if bias:
+        _set(tree, flax_path + "/bias", _np(sd[torch_path + ".bias"]))
+
+
+def _conv_nobias(tree, flax_path, sd, torch_path):
+    _set(tree, flax_path + "/kernel", conv_kernel(sd[torch_path + ".weight"]))
+
+
+def dpt_params_from_torch(sd: Mapping[str, Any], cfg) -> Dict[str, Any]:
+    """Reference DPTDepthModel state_dict (ISL midas dpt_{large,hybrid}
+    checkpoints; midas/dpt_depth.py + midas/vit.py key layout) -> flax
+    params for ``models.dpt.DPTDepthModel``.
+
+    ``cfg`` is a ``models.dpt.DPTConfig`` (shape bookkeeping only — the
+    mapping is width-generic). ConvTranspose reassemble weights (I,O,k,k)
+    become dense kernels (I, k*k*O) for the depth-to-space formulation;
+    the hybrid backbone's StdConv weights are standardization-folded.
+    """
+    sd = strip_prefixes(sd)
+    p: Dict[str, Any] = {}
+    vit = "pretrained.model."
+
+    _set(p, "cls_token", _np(sd[vit + "cls_token"]))
+    _set(p, "pos_embed", _np(sd[vit + "pos_embed"]))
+
+    if cfg.hybrid:
+        bb = vit + "patch_embed.backbone."
+        _ws_conv(p, "backbone/stem_conv", sd, bb + "stem.conv")
+        _norm(p, "backbone/stem_norm/gn", sd, bb + "stem.norm")
+        for si, depth in enumerate(cfg.rn_layers):
+            for bi in range(depth):
+                tb = f"{bb}stages.{si}.blocks.{bi}."
+                fb = f"backbone/stage{si}_block{bi}"
+                for ci in (1, 2, 3):
+                    _ws_conv(p, f"{fb}/conv{ci}", sd, f"{tb}conv{ci}")
+                    _norm(p, f"{fb}/norm{ci}/gn", sd, f"{tb}norm{ci}")
+                if f"{tb}downsample.conv.weight" in sd:
+                    _ws_conv(p, f"{fb}/downsample_conv", sd, f"{tb}downsample.conv")
+                    _norm(p, f"{fb}/downsample_norm/gn", sd, f"{tb}downsample.norm")
+        w = _np(sd[vit + "patch_embed.proj.weight"])  # (D, C, 1, 1)
+        _set(p, "patch_proj/kernel", w[:, :, 0, 0].transpose(1, 0))
+        _set(p, "patch_proj/bias", _np(sd[vit + "patch_embed.proj.bias"]))
+    else:
+        w = conv_kernel(sd[vit + "patch_embed.proj.weight"])  # (p,p,C,D)
+        _set(p, "patch_proj/kernel", w.reshape(-1, w.shape[-1]))
+        _set(p, "patch_proj/bias", _np(sd[vit + "patch_embed.proj.bias"]))
+
+    for i in range(cfg.vit_depth):
+        tb, fb = f"{vit}blocks.{i}.", f"block{i}"
+        _norm(p, f"{fb}/norm1", sd, tb + "norm1")
+        _dense(p, f"{fb}/qkv", sd, tb + "attn.qkv")
+        _dense(p, f"{fb}/proj", sd, tb + "attn.proj")
+        _norm(p, f"{fb}/norm2", sd, tb + "norm2")
+        _dense(p, f"{fb}/fc1", sd, tb + "mlp.fc1")
+        _dense(p, f"{fb}/fc2", sd, tb + "mlp.fc2")
+    # pretrained.model.norm.* is unused: DPT hooks fire on raw block outputs
+
+    # reassemble (act_postprocess; hybrid uses identity for levels 1/2)
+    start = 2 if cfg.hybrid else 0
+    for li in range(start, 4):
+        ap = f"pretrained.act_postprocess{li + 1}."
+        fb = f"post{li + 1}"
+        if cfg.readout == "project":
+            _dense(p, f"{fb}/readout/project", sd, ap + "0.project.0")
+        _conv(p, f"{fb}/conv", sd, ap + "3")
+        if li < 2:  # ConvTranspose k=s -> dense + depth-to-space
+            w = _np(sd[ap + "4.weight"])  # (I, O, k, k)
+            i_, o, k, _ = w.shape
+            _set(p, f"{fb}/up/kernel", w.transpose(0, 2, 3, 1).reshape(i_, k * k * o))
+            _set(p, f"{fb}/up/bias", np.tile(_np(sd[ap + "4.bias"]), k * k))
+        elif li == 3:
+            _conv(p, f"{fb}/down", sd, ap + "4")
+
+    for li in range(4):
+        _conv_nobias(p, f"layer{li + 1}_rn", sd, f"scratch.layer{li + 1}_rn")
+    for ri in range(1, 5):
+        rb, fb = f"scratch.refinenet{ri}.", f"refinenet{ri}"
+        _conv(p, f"{fb}/out_conv", sd, rb + "out_conv")
+        for ui, fu in ((1, "rcu1"), (2, "rcu2")):
+            _conv(p, f"{fb}/{fu}/conv1", sd, f"{rb}resConfUnit{ui}.conv1")
+            _conv(p, f"{fb}/{fu}/conv2", sd, f"{rb}resConfUnit{ui}.conv2")
+    _conv(p, "head_conv1", sd, "scratch.output_conv.0")
+    _conv(p, "head_conv2", sd, "scratch.output_conv.2")
+    _conv(p, "head_conv3", sd, "scratch.output_conv.4")
+    return p

@@ -102,9 +102,10 @@ def _contributions(
 
 
 def _torch_contributions(
-    in_len: int, out_len: int, kernel: str, antialias: bool, a: float
+    in_len: int, out_len: int, kernel: str, antialias: bool, a: float,
+    align_corners: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """torch.nn.functional.interpolate convention (align_corners=False)."""
+    """torch.nn.functional.interpolate convention."""
     if kernel == "cubic":
         kfn, kwidth = partial(_cubic, a=a), 4.0
     elif kernel == "linear":
@@ -118,7 +119,11 @@ def _torch_contributions(
     width = kwidth / kscale
 
     i = np.arange(out_len, dtype=np.float64)  # noqa: E741
-    u = (i + 0.5) / scale - 0.5  # 0-based source coordinate
+    if align_corners:
+        # torch align_corners=True: endpoints map exactly (no antialias)
+        u = i * ((in_len - 1) / (out_len - 1)) if out_len > 1 else np.zeros_like(i)
+    else:
+        u = (i + 0.5) / scale - 0.5  # 0-based source coordinate
     left = np.floor(u - width / 2.0) + 1.0
     p = int(np.ceil(width)) + 2
     indices = left[:, None] + np.arange(p)[None, :]
@@ -191,13 +196,19 @@ def interpolate(
     mode: str = "bilinear",
     antialias: bool = False,
     spatial_axes: Tuple[int, int] = (-3, -2),
+    align_corners: bool = False,
 ) -> jnp.ndarray:
-    """torch ``F.interpolate`` semantics (align_corners=False) on NHWC arrays.
+    """torch ``F.interpolate`` semantics on NHWC arrays.
 
     Modes: nearest | bilinear | bicubic | area. Used for degradation-pipeline
-    parity (reference dataset/batch_transform.py resize stages) and the
-    SwinIR ``nearest+conv`` upsampler.
+    parity (reference dataset/batch_transform.py resize stages), the
+    SwinIR ``nearest+conv`` upsampler, and the DPT fusion upsamples
+    (align_corners=True, midas/midas/blocks.py:335-337).
     """
+    if align_corners and mode not in ("bilinear", "bicubic"):
+        raise ValueError("align_corners only applies to bilinear/bicubic")
+    if align_corners and antialias:
+        raise ValueError("align_corners is incompatible with antialias")
     ha, wa = spatial_axes
     in_h, in_w = x.shape[ha], x.shape[wa]
     if out_hw is None:
@@ -247,10 +258,10 @@ def interpolate(
     dtype = x.dtype
     xf = x.astype(jnp.float32)
     if out_h != in_h:
-        idx, w = _torch_contributions(in_h, out_h, kern, antialias, a)
+        idx, w = _torch_contributions(in_h, out_h, kern, antialias, a, align_corners)
         xf = _apply_taps(xf, idx, w, ha)
     if out_w != in_w:
-        idx, w = _torch_contributions(in_w, out_w, kern, antialias, a)
+        idx, w = _torch_contributions(in_w, out_w, kern, antialias, a, align_corners)
         xf = _apply_taps(xf, idx, w, wa)
     return xf.astype(dtype)
 

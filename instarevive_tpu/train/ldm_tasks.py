@@ -3,8 +3,10 @@
 Parity target: reference ``ldm/models/diffusion/ddpm.py`` LatentDiffusion
 (:823-1368) and its task subclasses (:1368-1811 — LatentInpaintDiffusion
 concat-mode masked conditioning, LatentUpscaleDiffusion low-res concat,
-LatentDepth2ImageDiffusion depth concat with a pluggable depth source —
-the vendored MiDaS estimator itself stays a documented gap, PARITY.md).
+LatentDepth2ImageDiffusion depth concat). The MiDaS depth estimator the
+reference vendors is implemented natively in ``models.dpt`` (DPT large /
+hybrid / vitb16); ``MiDaSInference(...).depth_fn()`` plugs straight into
+``depth2image_loss``.
 
 Expressed as pure loss functions over a UNetBackbone whose in_channels is
 widened for the concat conditioning (inpaint: 4+4+1=9; upscale: 4+4=8, the
@@ -104,12 +106,12 @@ class LatentDiffusionTask:
         ddpm.py:1698-1750): UNet input = [z_t, normalized depth] (5
         channels, concat mode like inpaint/upscale).
 
-        The reference computes depth with vendored MiDaS; the depth SOURCE
-        is pluggable here — pass precomputed maps as ``batch['depth']``
-        ((B, H', W', 1), any resolution) or a ``depth_fn(hq) -> (B,H,W,1)``
-        estimator. MiDaS itself stays a documented gap (timm is absent in
-        this environment, so even the reference cannot instantiate it —
-        PARITY.md); the task math is exact parity.
+        The depth SOURCE is pluggable: pass precomputed maps as
+        ``batch['depth']`` ((B, H', W', 1), any resolution) or a
+        ``depth_fn(hq) -> (B,H,W,1)`` estimator — e.g.
+        ``models.dpt.MiDaSInference(model, params).depth_fn()``, the native
+        DPT equivalent of the reference's vendored MiDaS
+        (ldm/modules/midas/, parity-tested in tests/test_dpt.py).
         """
         depth = depth_fn(batch["hq"]) if depth_fn is not None else batch["depth"]
         f = 2 ** (len(self.vae.ch_mult) - 1)  # VAE spatial factor

@@ -1,0 +1,312 @@
+"""Torch transcription of the timm backbones MiDaS builds on, plus a loader
+for the reference's own vendored DPT code (/root/reference/ldm/modules/midas).
+
+The reference DPT modules (dpt_depth.py, blocks.py, vit.py) are pure torch
+EXCEPT for ``timm.create_model`` (vit.py:298,481) — timm is absent here, so
+these classes transcribe exactly the two timm models MiDaS instantiates:
+
+- ``vit_large_patch16_384`` / ``vit_base_patch16_384``: the classic timm
+  VisionTransformer (conv patch embed, cls token, learned pos embed, pre-LN
+  blocks with fused qkv + exact GELU);
+- ``vit_base_resnet50_384``: the hybrid — timm ResNetV2 backbone with
+  preact=False, GroupNormAct (eps 1e-5), TF-"SAME" padded weight-
+  standardized convs (StdConv2dSame, eps 1e-8), stem 64ch conv7x7/2 +
+  maxpool 3x3/2, stages (3,4,9) -> /16 feature grid, then a 1x1 proj.
+
+With ``create_model`` stubbed to return these, the reference's own
+``_make_vit_*_backbone`` / ``forward_vit`` / ``DPTDepthModel`` run verbatim
+as the numerical oracle, and ``model.state_dict()`` feeds
+``convert.torch_import.dpt_params_from_torch`` directly.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+_REF = "/root/reference"
+
+
+# --------------------------------------------- timm 'Same' conv/pool ops ---
+
+
+def _pad_same(x, k, s, value=0.0):
+    ih, iw = x.shape[-2:]
+    ph = max((math.ceil(ih / s) - 1) * s + k - ih, 0)
+    pw = max((math.ceil(iw / s) - 1) * s + k - iw, 0)
+    return F.pad(x, (pw // 2, pw - pw // 2, ph // 2, ph - ph // 2), value=value)
+
+
+class StdConv2dSame(nn.Conv2d):
+    """timm StdConv2dSame: runtime weight standardization (biased var over
+    (I,kH,kW), eps 1e-8) + TF-SAME padding."""
+
+    def __init__(self, in_chs, out_chs, k, stride=1, bias=False, eps=1e-8):
+        super().__init__(in_chs, out_chs, k, stride=stride, padding=0, bias=bias)
+        self.eps = eps
+
+    def forward(self, x):
+        w = self.weight
+        v, m = torch.var_mean(w, dim=[1, 2, 3], keepdim=True, unbiased=False)
+        w = (w - m) / torch.sqrt(v + self.eps)
+        x = _pad_same(x, self.kernel_size[0], self.stride[0])
+        return F.conv2d(x, w, self.bias, self.stride, 0)
+
+
+class MaxPool2dSame(nn.Module):
+    def __init__(self, k=3, stride=2):
+        super().__init__()
+        self.k, self.stride = k, stride
+
+    def forward(self, x):
+        x = _pad_same(x, self.k, self.stride, value=float("-inf"))
+        return F.max_pool2d(x, self.k, self.stride)
+
+
+class GroupNormAct(nn.GroupNorm):
+    def __init__(self, groups, chs, act=True):
+        super().__init__(groups, chs, eps=1e-5)
+        self.apply_act = act
+
+    def forward(self, x):
+        x = super().forward(x)
+        return F.relu(x) if self.apply_act else x
+
+
+# ----------------------------------------------------- ResNetV2 (hybrid) ---
+
+
+class _Downsample(nn.Module):
+    def __init__(self, in_chs, out_chs, stride, groups):
+        super().__init__()
+        self.conv = StdConv2dSame(in_chs, out_chs, 1, stride)
+        self.norm = GroupNormAct(groups, out_chs, act=False)
+
+    def forward(self, x):
+        return self.norm(self.conv(x))
+
+
+class _Bottleneck(nn.Module):
+    def __init__(self, in_chs, out_chs, mid_chs, stride, groups):
+        super().__init__()
+        self.downsample = (
+            _Downsample(in_chs, out_chs, stride, groups)
+            if (in_chs != out_chs or stride != 1)
+            else None
+        )
+        self.conv1 = StdConv2dSame(in_chs, mid_chs, 1)
+        self.norm1 = GroupNormAct(groups, mid_chs)
+        self.conv2 = StdConv2dSame(mid_chs, mid_chs, 3, stride)
+        self.norm2 = GroupNormAct(groups, mid_chs)
+        self.conv3 = StdConv2dSame(mid_chs, out_chs, 1)
+        self.norm3 = GroupNormAct(groups, out_chs, act=False)
+
+    def forward(self, x):
+        shortcut = self.downsample(x) if self.downsample is not None else x
+        y = self.norm1(self.conv1(x))
+        y = self.norm2(self.conv2(y))
+        y = self.norm3(self.conv3(y))
+        return F.relu(y + shortcut)
+
+
+class _Stage(nn.Module):
+    def __init__(self, in_chs, out_chs, depth, stride, groups):
+        super().__init__()
+        blocks = []
+        for bi in range(depth):
+            blocks.append(
+                _Bottleneck(
+                    in_chs if bi == 0 else out_chs,
+                    out_chs,
+                    out_chs // 4,
+                    stride if bi == 0 else 1,
+                    groups,
+                )
+            )
+        self.blocks = nn.Sequential(*blocks)
+
+    def forward(self, x):
+        return self.blocks(x)
+
+
+class _Stem(nn.Module):
+    def __init__(self, stem_chs, groups):
+        super().__init__()
+        self.conv = StdConv2dSame(3, stem_chs, 7, 2)
+        self.norm = GroupNormAct(groups, stem_chs)
+        self.pool = MaxPool2dSame(3, 2)
+
+    def forward(self, x):
+        return self.pool(self.norm(self.conv(x)))
+
+
+class TimmResNetV2(nn.Module):
+    """timm _resnetv2(layers): stem/4 + stages with strides (1,2,2,...)."""
+
+    def __init__(self, layers=(3, 4, 9), stem_chs=64, base_chs=256, groups=32):
+        super().__init__()
+        self.stem = _Stem(stem_chs, groups)
+        stages = []
+        in_chs = stem_chs
+        for si, depth in enumerate(layers):
+            out_chs = base_chs * (2 ** si)
+            stages.append(_Stage(in_chs, out_chs, depth, 1 if si == 0 else 2, groups))
+            in_chs = out_chs
+        self.stages = nn.ModuleList(stages)
+        self.out_chs = in_chs
+
+    def forward(self, x):
+        x = self.stem(x)
+        for s in self.stages:
+            x = s(x)
+        return x
+
+
+# ----------------------------------------------------------------- ViT ---
+
+
+class _ViTBlock(nn.Module):
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+        self.attn = nn.Module()
+        self.attn.qkv = nn.Linear(dim, 3 * dim)
+        self.attn.proj = nn.Linear(dim, dim)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        self.mlp = nn.Module()
+        self.mlp.fc1 = nn.Linear(dim, 4 * dim)
+        self.mlp.fc2 = nn.Linear(4 * dim, dim)
+        self.heads = heads
+
+    def forward(self, x):
+        b, n, d = x.shape
+        h = self.heads
+        y = self.norm1(x)
+        qkv = self.attn.qkv(y).reshape(b, n, 3, h, d // h).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        a = torch.softmax(q @ k.transpose(-1, -2) * (d // h) ** -0.5, dim=-1)
+        y = (a @ v).transpose(1, 2).reshape(b, n, d)
+        x = x + self.attn.proj(y)
+        y = self.norm2(x)
+        return x + self.mlp.fc2(F.gelu(self.mlp.fc1(y)))
+
+
+class TimmViT(nn.Module):
+    """Just enough timm VisionTransformer surface for MiDaS's injected
+    ``forward_flex`` (vit.py:117-153): patch_embed(.backbone/.proj),
+    cls_token, pos_embed, pos_drop, blocks, norm."""
+
+    def __init__(self, dim, depth, heads, patch=16, pos_grid=24, backbone=None):
+        super().__init__()
+        self.patch_embed = nn.Module()
+        if backbone is not None:
+            self.patch_embed.backbone = backbone
+            self.patch_embed.proj = nn.Conv2d(backbone.out_chs, dim, 1)
+        else:
+            self.patch_embed.proj = nn.Conv2d(3, dim, patch, stride=patch)
+        self.cls_token = nn.Parameter(torch.randn(1, 1, dim) * 0.02)
+        self.pos_embed = nn.Parameter(torch.randn(1, 1 + pos_grid * pos_grid, dim) * 0.02)
+        self.pos_drop = nn.Dropout(0.0)
+        self.blocks = nn.ModuleList(_ViTBlock(dim, heads) for _ in range(depth))
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
+
+
+def make_create_model(tiny=None):
+    """A ``timm.create_model`` stand-in covering the names MiDaS requests.
+    ``tiny`` optionally overrides (dim, depth, heads, pos_grid, rn) for
+    reduced-size tests."""
+
+    def create_model(name, pretrained=False, **kw):
+        assert not pretrained
+        if name == "vit_large_patch16_384":
+            return TimmViT(1024, 24, 16)
+        if name == "vit_base_patch16_384":
+            return TimmViT(768, 12, 12)
+        if name == "vit_base_resnet50_384":
+            return TimmViT(768, 12, 12, backbone=TimmResNetV2())
+        raise ValueError(name)
+
+    return create_model
+
+
+# ------------------------------------------------------ reference loader ---
+
+
+def load_reference_midas():
+    """Import the reference midas modules standalone (package ``refmidas``)
+    with timm.create_model stubbed to the transcriptions above. Returns
+    (vit, blocks, dpt_depth) modules."""
+    from tests.oracles import _ensure_stubs, _load_as
+
+    _ensure_stubs()
+    sys.modules["timm"].create_model = make_create_model()
+    base = f"{_REF}/ldm/modules/midas/midas"
+    _load_as("refmidas", "base_model", f"{base}/base_model.py")
+    vit = _load_as("refmidas", "vit", f"{base}/vit.py")
+    blocks = _load_as("refmidas", "blocks", f"{base}/blocks.py")
+    dpt = _load_as("refmidas", "dpt_depth", f"{base}/dpt_depth.py")
+    return vit, blocks, dpt
+
+
+def build_reference_tiny_dpt(dim=48, depth=4, heads=4, pos_grid=4,
+                             chs=(16, 32, 40, 48), features=16, hybrid=True,
+                             hooks=(0, 1, 2, 3), rn_layers=(1, 1, 1),
+                             rn_stem=8, rn_base=16, groups=4, seed=0):
+    """Assemble a reduced-size DPT from the REFERENCE's own pieces
+    (_make_vit_*_backbone, _make_scratch, _make_fusion_block, the
+    DPTDepthModel head layout) — the full-size channel specs are hardcoded
+    in DPT.__init__ (dpt_depth.py:41-57), so tiny configs go through the
+    same underlying builders the class calls. Forward follows
+    dpt_depth.py:67-85 exactly."""
+    vit_mod, blocks_mod, dpt_mod = load_reference_midas()
+    torch.manual_seed(seed)
+
+    if hybrid:
+        backbone = TimmResNetV2(rn_layers, rn_stem, rn_base, groups)
+        model = TimmViT(dim, depth, heads, pos_grid=pos_grid, backbone=backbone)
+        pretrained = vit_mod._make_vit_b_rn50_backbone(
+            model, features=list(chs), size=[pos_grid * 16, pos_grid * 16],
+            hooks=list(hooks), vit_features=dim, use_readout="project",
+        )
+    else:
+        model = TimmViT(dim, depth, heads, pos_grid=pos_grid)
+        pretrained = vit_mod._make_vit_b16_backbone(
+            model, features=list(chs), size=[pos_grid * 16, pos_grid * 16],
+            hooks=list(hooks), vit_features=dim, use_readout="project",
+        )
+
+    scratch = blocks_mod._make_scratch(list(chs), features)
+    for i in range(1, 5):
+        setattr(scratch, f"refinenet{i}", dpt_mod._make_fusion_block(features, False))
+    scratch.output_conv = nn.Sequential(
+        nn.Conv2d(features, features // 2, 3, padding=1),
+        blocks_mod.Interpolate(scale_factor=2, mode="bilinear", align_corners=True),
+        nn.Conv2d(features // 2, 32, 3, padding=1),
+        nn.ReLU(True),
+        nn.Conv2d(32, 1, 1),
+        nn.ReLU(True),
+        nn.Identity(),
+    )
+
+    root = nn.Module()
+    root.pretrained = pretrained
+    root.scratch = scratch
+
+    def forward(x):  # dpt_depth.py:67-85 + DPTDepthModel.forward squeeze
+        l1, l2, l3, l4 = vit_mod.forward_vit(root.pretrained, x)
+        r1 = root.scratch.layer1_rn(l1)
+        r2 = root.scratch.layer2_rn(l2)
+        r3 = root.scratch.layer3_rn(l3)
+        r4 = root.scratch.layer4_rn(l4)
+        p4 = root.scratch.refinenet4(r4)
+        p3 = root.scratch.refinenet3(p4, r3)
+        p2 = root.scratch.refinenet2(p3, r2)
+        p1 = root.scratch.refinenet1(p2, r1)
+        return root.scratch.output_conv(p1).squeeze(1)
+
+    root.forward_fn = forward
+    return root

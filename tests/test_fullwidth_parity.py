@@ -270,3 +270,36 @@ def test_controlnet_half_xl2_production_width(xl2_ref):
     )
     _report("ControlPixArtHalf-XL-2 (copy13)", got, want.transpose(0, 2, 3, 1),
             atol=2e-3, rtol=2e-3)
+
+
+@pytest.mark.parametrize("model_type,backbone", [
+    ("dpt_hybrid", "vitb_rn50_384"),
+    ("dpt_large", "vitl16_384"),
+])
+def test_dpt_fullwidth(model_type, backbone):
+    """Real-size DPT via the reference's own DPTDepthModel class
+    (ldm/modules/midas/midas/dpt_depth.py:88-108) with the timm backbones
+    transcribed in tests/midas_oracle.py; 224 input exercises the
+    pos-embed resize (stored grid 24 -> 14)."""
+    from tests.midas_oracle import load_reference_midas
+    from instarevive_tpu.convert.torch_import import dpt_params_from_torch
+    from instarevive_tpu.models.dpt import VARIANTS, build_dpt
+
+    _, _, ref_dpt = load_reference_midas()
+    torch.manual_seed(0)
+    ref = ref_dpt.DPTDepthModel(backbone=backbone, non_negative=True)
+    ref.eval()
+
+    cfg = VARIANTS[backbone]
+    params = dpt_params_from_torch(ref.state_dict(), cfg)
+    model = build_dpt(model_type)
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1, 224, 224, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+    err = np.abs(got - want).max()
+    scale = np.abs(want).max() + 1e-8
+    print(f"DPT {model_type}: max abs err {err:.3e} (out scale {scale:.3e})")
+    assert err / scale < 5e-4

@@ -84,3 +84,16 @@ def test_resize_preserves_constant():
         np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-5)
     out = imresize_matlab(x, (20, 20))
     np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["bilinear", "bicubic"])
+@pytest.mark.parametrize(
+    "shape", [((32, 48), (64, 96)), ((64, 64), (23, 31)), ((7, 9), (14, 18)), ((5, 5), (1, 1))]
+)
+def test_interpolate_align_corners_matches_torch(mode, shape):
+    """align_corners=True path (DPT fusion upsamples, midas/blocks.py:335)."""
+    (ih, iw), (oh, ow) = shape
+    x = _rand_img(ih, iw)
+    ref = F.interpolate(_to_torch(x), size=(oh, ow), mode=mode, align_corners=True)
+    out = interpolate(jnp.asarray(x), (oh, ow), mode=mode, align_corners=True)
+    np.testing.assert_allclose(np.asarray(out), _from_torch(ref), atol=2e-5, rtol=1e-4)
