@@ -480,3 +480,51 @@ def dpt_params_from_torch(sd: Mapping[str, Any], cfg) -> Dict[str, Any]:
     _conv(p, "head_conv2", sd, "scratch.output_conv.2")
     _conv(p, "head_conv3", sd, "scratch.output_conv.4")
     return p
+
+
+# ------------------------------------------------------------- LLaVA-MPT ---
+
+
+def mpt_params_from_torch(sd: Mapping[str, Any], cfg) -> Dict[str, Any]:
+    """MPT / LLaVA-MPT state_dict (reference diffusion/model/llava/mpt/
+    modeling_mpt.py key layout; 'transformer.'-prefixed for the CausalLM
+    wrapper) -> flax params for ``models.llava_mpt.MPTModel``.
+
+    Handles ``no_bias`` checkpoints (bias keys absent), tied word
+    embeddings (no separate lm_head), alibi (no wpe), qk_ln, and the LLaVA
+    ``mm_projector``. ``cfg`` is a ``models.llava_mpt.MPTConfig``.
+    """
+    sd = strip_prefixes(sd, ("module.",))
+    if any(k.startswith("transformer.") for k in sd):
+        sd = {k[len("transformer."):]: v for k, v in sd.items()
+              if k.startswith("transformer.")}
+    p: Dict[str, Any] = {}
+
+    def _maybe_norm(flax_path, torch_path):
+        _set(p, flax_path + "/scale", _np(sd[torch_path + ".weight"]))
+        if torch_path + ".bias" in sd:
+            _set(p, flax_path + "/bias", _np(sd[torch_path + ".bias"]))
+
+    def _maybe_dense(flax_path, torch_path):
+        _set(p, flax_path + "/kernel", dense_kernel(sd[torch_path + ".weight"]))
+        if torch_path + ".bias" in sd:
+            _set(p, flax_path + "/bias", _np(sd[torch_path + ".bias"]))
+
+    _set(p, "wte/embedding", _np(sd["wte.weight"]))
+    if "wpe.weight" in sd:
+        _set(p, "wpe/embedding", _np(sd["wpe.weight"]))
+    for i in range(cfg.n_layers):
+        tb, fb = f"blocks.{i}.", f"block{i}"
+        _maybe_norm(f"{fb}/norm1", tb + "norm_1")
+        _maybe_dense(f"{fb}/attn/Wqkv", tb + "attn.Wqkv")
+        if cfg.qk_ln:
+            _maybe_norm(f"{fb}/attn/q_ln", tb + "attn.q_ln")
+            _maybe_norm(f"{fb}/attn/k_ln", tb + "attn.k_ln")
+        _maybe_dense(f"{fb}/attn/out_proj", tb + "attn.out_proj")
+        _maybe_norm(f"{fb}/norm2", tb + "norm_2")
+        _maybe_dense(f"{fb}/up_proj", tb + "ffn.up_proj")
+        _maybe_dense(f"{fb}/down_proj", tb + "ffn.down_proj")
+    _maybe_norm("norm_f", "norm_f")
+    if "mm_projector.weight" in sd:
+        _maybe_dense("mm_projector", "mm_projector")
+    return p

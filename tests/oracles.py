@@ -60,6 +60,10 @@ def _ensure_stubs():
     timm_l.DropPath = DropPath
     timm_l.to_2tuple = to_2tuple
     timm_l.trunc_normal_ = trunc_normal_
+    # a real ModuleSpec so importlib.util.find_spec("timm") (used by
+    # transformers' _is_package_available) doesn't raise on the stub
+    for mod in (timm, timm_m, timm_l):
+        mod.__spec__ = importlib.machinery.ModuleSpec(mod.__name__, None)
     sys.modules["timm"] = timm
     sys.modules["timm.models"] = timm_m
     sys.modules["timm.models.layers"] = timm_l
@@ -327,3 +331,34 @@ def load_reference_cldm():
         sys.modules["utils.common"] = uc
 
     return _load_as("refcldm", "cldm", f"{_REF}/diffusion/cldm.py")
+
+
+def load_reference_mpt():
+    """Import the reference MPT package standalone (diffusion/model/llava/
+    mpt — pure torch + transformers + einops, all present). Returns the
+    modeling_mpt module."""
+    _ensure_stubs()
+    base = f"{_REF}/diffusion/model/llava/mpt"
+    _load_as("refmpt", "norm", f"{base}/norm.py")
+    _load_as("refmpt", "attention", f"{base}/attention.py")
+    _load_as("refmpt", "blocks", f"{base}/blocks.py")
+    _load_as("refmpt", "configuration_mpt", f"{base}/configuration_mpt.py")
+    _load_as("refmpt", "param_init_fns", f"{base}/param_init_fns.py")
+    return _load_as("refmpt", "modeling_mpt", f"{base}/modeling_mpt.py")
+
+
+def load_reference_llava_mpt():
+    """Import reference llava_mpt.py (CLIP splice + LlavaMPTForCausalLM);
+    aliases the standalone refmpt modules under the absolute package path
+    the file imports from."""
+    mm = load_reference_mpt()
+    _ensure_pixart_stubs()
+    for name in ("diffusion.model.llava", "diffusion.model.llava.mpt"):
+        if name not in sys.modules:
+            pkg = types.ModuleType(name)
+            pkg.__path__ = [f"{_REF}/{name.replace('.', '/')}"]
+            sys.modules[name] = pkg
+    sys.modules.setdefault("diffusion.model.llava.mpt.modeling_mpt", mm)
+    return _load_as(
+        "refllava", "llava_mpt", f"{_REF}/diffusion/model/llava/llava_mpt.py"
+    )

@@ -188,3 +188,16 @@ def test_extract_features_ffhq(tmp_path):
     z = np.load(out / "vae_feat" / "f0.npz")
     assert set(z.files) == {"latent", "img_hw", "aspect_ratio"}
     assert z["img_hw"].tolist() == [64.0, 80.0]
+
+
+def test_extract_caption_weights_gate(tmp_path):
+    """tools/extract_caption.py (LLaVA-MPT captioner CLI): without local
+    weights it must exit with instructions, not invent a proxy."""
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/extract_caption.py"),
+         "--input", str(tmp_path), "--output", str(tmp_path / "c.json")],
+        env=_env(), capture_output=True, text=True,
+    )
+    assert r.returncode != 0
+    assert "local weights" in r.stderr
+    assert not (tmp_path / "c.json").exists()
