@@ -528,3 +528,47 @@ def mpt_params_from_torch(sd: Mapping[str, Any], cfg) -> Dict[str, Any]:
     if "mm_projector.weight" in sd:
         _maybe_dense("mm_projector", "mm_projector")
     return p
+
+
+def _bn_fold_conv(tree, flax_path, sd, conv_path, bn_path, eps=1e-5):
+    """Fold eval-mode BatchNorm (gamma, beta, running stats) into the
+    preceding bias-free conv: w' = w * g/sqrt(v+eps), b' = b - m*g/sqrt(v+eps)."""
+    w = _np(sd[conv_path + ".weight"]).astype(np.float64)  # OIHW
+    g = _np(sd[bn_path + ".weight"]).astype(np.float64)
+    b = _np(sd[bn_path + ".bias"]).astype(np.float64)
+    m = _np(sd[bn_path + ".running_mean"]).astype(np.float64)
+    v = _np(sd[bn_path + ".running_var"]).astype(np.float64)
+    s = g / np.sqrt(v + eps)
+    _set(tree, flax_path + "/kernel",
+         (w * s[:, None, None, None]).astype(np.float32).transpose(2, 3, 1, 0))
+    _set(tree, flax_path + "/bias", (b - m * s).astype(np.float32))
+
+
+def midas_v21_params_from_torch(sd: Mapping[str, Any], layers=(3, 4, 23, 3)) -> Dict[str, Any]:
+    """Reference MidasNet state_dict (midas/midas_net.py + the torchvision
+    ResNeXt101-WSL encoder split by _make_resnet_backbone, blocks.py:101-111:
+    pretrained.layer1 = Sequential(conv1, bn1, relu, maxpool, layer1)) ->
+    flax params for ``models.dpt.MidasNet``. BatchNorms are folded."""
+    sd = strip_prefixes(sd)
+    p: Dict[str, Any] = {}
+    _bn_fold_conv(p, "backbone/stem_conv", sd, "pretrained.layer1.0", "pretrained.layer1.1")
+    for si, depth in enumerate(layers):
+        base = f"pretrained.layer{si + 1}." + ("4." if si == 0 else "")
+        for bi in range(depth):
+            tb = f"{base}{bi}."
+            fb = f"backbone/layer{si + 1}_block{bi}"
+            for ci in (1, 2, 3):
+                _bn_fold_conv(p, f"{fb}/conv{ci}", sd, f"{tb}conv{ci}", f"{tb}bn{ci}")
+            if f"{tb}downsample.0.weight" in sd:
+                _bn_fold_conv(p, f"{fb}/downsample", sd, f"{tb}downsample.0", f"{tb}downsample.1")
+    for li in range(4):
+        _conv_nobias(p, f"layer{li + 1}_rn", sd, f"scratch.layer{li + 1}_rn")
+    for ri in range(1, 5):
+        rb, fb = f"scratch.refinenet{ri}.", f"refinenet{ri}"
+        for ui, fu in ((1, "rcu1"), (2, "rcu2")):
+            _conv(p, f"{fb}/{fu}/conv1", sd, f"{rb}resConfUnit{ui}.conv1")
+            _conv(p, f"{fb}/{fu}/conv2", sd, f"{rb}resConfUnit{ui}.conv2")
+    _conv(p, "head_conv1", sd, "scratch.output_conv.0")
+    _conv(p, "head_conv2", sd, "scratch.output_conv.2")
+    _conv(p, "head_conv3", sd, "scratch.output_conv.4")
+    return p

@@ -384,6 +384,126 @@ def _resize_pos_embed(pos_embed, gs_old, gh, gw):
     return jnp.concatenate([tok, grid], axis=1)
 
 
+# ------------------------------------------------- MidasNet (midas_v21) ---
+
+
+class ResNeXtBottleneck(nn.Module):
+    """torchvision ResNeXt Bottleneck (groups=32, width_per_group=8), BN
+    folded into conv scale/bias at import (eval-mode running stats)."""
+
+    planes: int  # output channels (= base * 4)
+    width: int
+    stride: int = 1
+    groups: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        shortcut = x
+        if x.shape[-1] != self.planes or self.stride != 1:
+            shortcut = nn.Conv(
+                self.planes, (1, 1), strides=self.stride, name="downsample"
+            )(x)
+        y = nn.Conv(self.width, (1, 1), name="conv1")(x)
+        y = jax.nn.relu(y)
+        y = nn.Conv(
+            self.width, (3, 3), strides=self.stride, padding=((1, 1), (1, 1)),
+            feature_group_count=self.groups, name="conv2",
+        )(y)
+        y = jax.nn.relu(y)
+        y = nn.Conv(self.planes, (1, 1), name="conv3")(y)
+        return jax.nn.relu(y + shortcut)
+
+
+class ResNeXt101Backbone(nn.Module):
+    """torchvision resnext101_32x8d feature stages (blocks.py:101-116
+    _make_resnet_backbone split: stem+layer1, layer2, layer3, layer4)."""
+
+    layers: Tuple[int, ...] = (3, 4, 23, 3)
+    groups: int = 32
+    width_per_group: int = 8
+    stem_chs: int = 64
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.stem_chs, (7, 7), strides=2, padding=((3, 3), (3, 3)),
+            name="stem_conv",
+        )(x)
+        x = jax.nn.relu(x)
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        feats = []
+        base = self.stem_chs
+        for si, depth in enumerate(self.layers):
+            planes = base * 4 * (2 ** si)  # 256, 512, 1024, 2048
+            width = int(base * (2 ** si) * self.width_per_group * self.groups / 64)
+            for bi in range(depth):
+                stride = 2 if (si > 0 and bi == 0) else 1
+                x = ResNeXtBottleneck(
+                    planes, width, stride, self.groups,
+                    name=f"layer{si + 1}_block{bi}",
+                )(x)
+            feats.append(x)
+        return tuple(feats)
+
+
+class FeatureFusionBlockV21(nn.Module):
+    """blocks.py:194-226 (the non-custom block: no out_conv)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, skip=None):
+        if skip is not None:
+            x = x + ResidualConvUnit(self.features, name="rcu1")(skip)
+        x = ResidualConvUnit(self.features, name="rcu2")(x)
+        return interpolate(
+            x, (x.shape[1] * 2, x.shape[2] * 2), mode="bilinear",
+            align_corners=True,
+        )
+
+
+class MidasNet(nn.Module):
+    """midas_net.py:12-76 — MiDaS v2.1 large (ResNeXt101-WSL encoder +
+    RefineNet decoder). The reference pulls the encoder from torch.hub
+    (blocks.py:114-116); here it is a native flax backbone with BN folded
+    at import. midas_v21_small (efficientnet-lite3, also hub-fetched)
+    remains out of scope — the DPT family is what SD depth2img ships.
+    """
+
+    features: int = 256
+    non_negative: bool = True
+    layers: Tuple[int, ...] = (3, 4, 23, 3)
+    stem_chs: int = 64
+    groups: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        feats = ResNeXt101Backbone(
+            self.layers, self.groups, stem_chs=self.stem_chs, name="backbone"
+        )(x)
+        f = self.features
+        rn = [
+            nn.Conv(f, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+                    name=f"layer{li + 1}_rn")(feats[li])
+            for li in range(4)
+        ]
+        path = FeatureFusionBlockV21(f, name="refinenet4")(rn[3])
+        path = FeatureFusionBlockV21(f, name="refinenet3")(path, rn[2])
+        path = FeatureFusionBlockV21(f, name="refinenet2")(path, rn[1])
+        path = FeatureFusionBlockV21(f, name="refinenet1")(path, rn[0])
+
+        y = nn.Conv(128, (3, 3), padding=((1, 1), (1, 1)), name="head_conv1")(path)
+        # midas_net.py:39 Interpolate has align_corners=False (unlike DPT)
+        y = interpolate(y, (y.shape[1] * 2, y.shape[2] * 2), mode="bilinear")
+        y = nn.Conv(32, (3, 3), padding=((1, 1), (1, 1)), name="head_conv2")(y)
+        y = jax.nn.relu(y)
+        y = nn.Conv(1, (1, 1), name="head_conv3")(y)
+        if self.non_negative:
+            y = jax.nn.relu(y)
+        return y[..., 0]
+
+
 # --------------------------------------------------------- MiDaSInference ---
 
 # api.py:34-49 — per-model input normalization (applied to [0,1] RGB)

@@ -310,3 +310,97 @@ def build_reference_tiny_dpt(dim=48, depth=4, heads=4, pos_grid=4,
 
     root.forward_fn = forward
     return root
+
+
+# ----------------------------------------- torchvision ResNeXt (midas_v21) ---
+
+
+class _TVBottleneck(nn.Module):
+    """torchvision.models.resnet.Bottleneck with groups/width_per_group."""
+
+    def __init__(self, in_chs, planes, width, stride, groups):
+        super().__init__()
+        self.conv1 = nn.Conv2d(in_chs, width, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(width)
+        self.conv2 = nn.Conv2d(width, width, 3, stride=stride, padding=1,
+                               groups=groups, bias=False)
+        self.bn2 = nn.BatchNorm2d(width)
+        self.conv3 = nn.Conv2d(width, planes, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(planes)
+        self.relu = nn.ReLU(inplace=True)
+        self.downsample = None
+        if in_chs != planes or stride != 1:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(in_chs, planes, 1, stride=stride, bias=False),
+                nn.BatchNorm2d(planes),
+            )
+
+    def forward(self, x):
+        identity = self.downsample(x) if self.downsample is not None else x
+        y = self.relu(self.bn1(self.conv1(x)))
+        y = self.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        return self.relu(y + identity)
+
+
+class TVResNeXt(nn.Module):
+    """torchvision resnext101_32x8d layout (conv1/bn1/relu/maxpool +
+    layer1..4) — what torch.hub's resnext101_32x8d_wsl returns."""
+
+    def __init__(self, layers=(3, 4, 23, 3), groups=32, width_per_group=8):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.relu = nn.ReLU(inplace=True)
+        self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+        in_chs = 64
+        for si, depth in enumerate(layers):
+            planes = 64 * 4 * (2 ** si)
+            width = int(64 * (2 ** si) * width_per_group * groups / 64)
+            blocks = []
+            for bi in range(depth):
+                stride = 2 if (si > 0 and bi == 0) else 1
+                blocks.append(_TVBottleneck(in_chs, planes, width,
+                                            stride if bi == 0 else 1, groups))
+                in_chs = planes
+            setattr(self, f"layer{si + 1}", nn.Sequential(*blocks))
+
+    def forward(self, x):  # unused by MidasNet (it calls the split layers)
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        return self.layer4(self.layer3(self.layer2(self.layer1(x))))
+
+
+def _randomize_bn_stats(model, seed=0):
+    """Default running stats (mean 0, var 1) would make BN folding vacuous."""
+    g = torch.Generator().manual_seed(seed)
+    for m in model.modules():
+        if isinstance(m, nn.BatchNorm2d):
+            with torch.no_grad():
+                m.running_mean.normal_(0, 0.5, generator=g)
+                m.running_var.uniform_(0.5, 2.0, generator=g)
+
+
+def build_reference_midas_v21(layers=(1, 1, 1, 1), features=64, seed=0):
+    """Reference MidasNet (midas/midas_net.py) with torch.hub stubbed to the
+    TVResNeXt transcription (real stage widths 256..2048; tiny depth)."""
+    load_reference_midas()
+    import importlib.util
+
+    torch.manual_seed(seed)
+    backbone = TVResNeXt(layers)
+    _randomize_bn_stats(backbone, seed)
+
+    orig_hub_load = torch.hub.load
+    torch.hub.load = lambda *a, **k: backbone
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "refmidas.midas_net", f"{_REF}/ldm/modules/midas/midas/midas_net.py"
+        )
+        mn = importlib.util.module_from_spec(spec)
+        sys.modules["refmidas.midas_net"] = mn
+        spec.loader.exec_module(mn)
+        model = mn.MidasNet(features=features)
+    finally:
+        torch.hub.load = orig_hub_load
+    model.eval()
+    return model

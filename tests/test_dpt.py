@@ -151,3 +151,27 @@ def test_depth2image_with_midas_depth_fn():
     loss, _ = task.depth2image_loss(uparams, frozen, batch, jax.random.PRNGKey(1),
                                     depth_fn=midas.depth_fn())
     assert np.isfinite(float(loss))
+
+
+def test_midas_v21_parity():
+    """MiDaS v2.1 (ResNeXt101 MidasNet, midas/midas_net.py:12-76) vs the
+    reference class with torch.hub stubbed; tiny depth (1,1,1,1) keeps the
+    REAL stage widths 256..2048 (hardcoded in blocks.py:38), so the
+    BN-folding importer and grouped convs are exercised at true widths."""
+    from tests.midas_oracle import build_reference_midas_v21
+    from instarevive_tpu.convert.torch_import import midas_v21_params_from_torch
+    from instarevive_tpu.models.dpt import MidasNet
+
+    ref = build_reference_midas_v21(layers=(1, 1, 1, 1), features=64)
+    params = midas_v21_params_from_torch(ref.state_dict(), layers=(1, 1, 1, 1))
+    model = MidasNet(features=64, layers=(1, 1, 1, 1))
+
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+    assert got.shape == want.shape == (1, 64, 64)
+    err = np.abs(got - want).max()
+    scale = np.abs(want).max() + 1e-8
+    assert err / scale < 5e-4, (err, scale)
