@@ -129,8 +129,9 @@ class LPIPS:
         fb = self._features(target)
         dist = 0.0
         for i, (a, b) in enumerate(zip(fa, fb)):
-            a = a / jnp.sqrt(jnp.sum(a**2, axis=-1, keepdims=True) + 1e-10)
-            b = b / jnp.sqrt(jnp.sum(b**2, axis=-1, keepdims=True) + 1e-10)
+            # lpips normalize_tensor: eps added OUTSIDE the sqrt
+            a = a / (jnp.sqrt(jnp.sum(a**2, axis=-1, keepdims=True)) + 1e-10)
+            b = b / (jnp.sqrt(jnp.sum(b**2, axis=-1, keepdims=True)) + 1e-10)
             d = (a - b) ** 2
             w = jnp.asarray(self.params[f"lin{i}"])[0]  # (C,)
             dist = dist + jnp.mean(jnp.sum(d * w, axis=-1), axis=(1, 2))

@@ -471,3 +471,58 @@ def torch_nms(boxes, scores, thresh):
         iou = inter / (areas[i] + areas[order[1:]] - inter).clamp_min(1e-9)
         order = order[1:][iou <= thresh]
     return keep
+
+
+# --------------------------------------------------------------- LPIPS ---
+
+
+class TorchLPIPSAlex(nn.Module):
+    """lpips-package 'alex' metric transcription: torchvision AlexNet
+    features (state-dict keys features.{0,3,6,8,10}) + the lpips scaling
+    layer (fixed shift/scale) and 1x1 no-bias linear heads
+    (lin{i}.model.1.weight), spatial-averaged and summed over the 5 taps
+    (relu1..relu5, taken before the maxpools)."""
+
+    def __init__(self):
+        super().__init__()
+        self.features = nn.Sequential(
+            nn.Conv2d(3, 64, 11, stride=4, padding=2), nn.ReLU(True),
+            nn.MaxPool2d(3, 2),
+            nn.Conv2d(64, 192, 5, padding=2), nn.ReLU(True),
+            nn.MaxPool2d(3, 2),
+            nn.Conv2d(192, 384, 3, padding=1), nn.ReLU(True),
+            nn.Conv2d(384, 256, 3, padding=1), nn.ReLU(True),
+            nn.Conv2d(256, 256, 3, padding=1), nn.ReLU(True),
+        )
+        self.lins = nn.ModuleList(
+            nn.Conv2d(c, 1, 1, bias=False) for c in (64, 192, 384, 256, 256)
+        )
+        self.register_buffer("shift", torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1))
+        self.register_buffer("scale", torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1))
+
+    def lpips_state_dicts(self):
+        alexnet_sd = {f"features.{i}.{k}": v
+                      for i in (0, 3, 6, 8, 10)
+                      for k, v in self.features[i].state_dict().items()}
+        lpips_sd = {f"lin{i}.model.1.weight": lin.weight
+                    for i, lin in enumerate(self.lins)}
+        return alexnet_sd, lpips_sd
+
+    def _taps(self, x):
+        x = (x - self.shift) / self.scale
+        outs = []
+        for i, layer in enumerate(self.features):
+            x = layer(x)
+            if i in (1, 4, 7, 9, 11):
+                outs.append(x)
+        return outs
+
+    def forward(self, a, b):  # NCHW in [-1, 1]
+        dist = 0.0
+        for i, (fa, fb) in enumerate(zip(self._taps(a), self._taps(b))):
+            # lpips normalize_tensor: eps OUTSIDE the sqrt
+            na = fa / (torch.sqrt((fa * fa).sum(1, keepdim=True)) + 1e-10)
+            nb = fb / (torch.sqrt((fb * fb).sum(1, keepdim=True)) + 1e-10)
+            d = self.lins[i]((na - nb) ** 2)
+            dist = dist + d.mean(dim=(2, 3)).squeeze(1)
+        return dist

@@ -166,3 +166,36 @@ def test_retinaface_nms_parity():
     keep = R.nms(boxes, scores, 0.4)
     ref = torch_nms(torch.from_numpy(boxes), torch.from_numpy(scores), 0.4)
     assert keep == ref
+
+
+def test_lpips_parity_vs_torch_oracle():
+    """LPIPS 'alex' (utils/metrics.LPIPS) vs the lpips-package transcription
+    with shared random weights through the importer — same standard as the
+    other IQA nets (reference evaluate_img.py:23 pyiqa 'lpips')."""
+    import numpy as np
+    import torch
+    import jax.numpy as jnp
+
+    from tests.iqa_oracles import TorchLPIPSAlex
+    from instarevive_tpu.utils.metrics import LPIPS
+
+    torch.manual_seed(0)
+    oracle = TorchLPIPSAlex().eval()
+    # lpips lin weights are non-negative in the real ckpt; keep random
+    # positive so layer contributions don't cancel by accident
+    with torch.no_grad():
+        for lin in oracle.lins:
+            lin.weight.abs_()
+    alexnet_sd, lpips_sd = oracle.lpips_state_dicts()
+    params = LPIPS.alexnet_feature_params_from_torch(alexnet_sd, lpips_sd)
+    metric = LPIPS(params)
+
+    rng = np.random.default_rng(3)
+    a = rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+    b = rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = oracle(torch.from_numpy(a.transpose(0, 3, 1, 2)),
+                      torch.from_numpy(b.transpose(0, 3, 1, 2))).numpy()
+    got = np.asarray(metric(jnp.asarray(a), jnp.asarray(b)))
+    assert got.shape == want.shape == (2,)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
