@@ -204,11 +204,20 @@ def fit_pristine_model(images: list[np.ndarray], block_size: int = 96) -> NiqePr
 
 
 def _to_gray_255(img: np.ndarray) -> np.ndarray:
-    """RGB float [0,1] (H,W,3) or grayscale → Y in [0,255] (BT.601 full)."""
+    """RGB float [0,1] (H,W,3) or grayscale → Y in [0,255].
+
+    RGB uses basicsr/pyiqa ``to_y_channel`` semantics (limited-range
+    BT.601: 65.481 R + 128.553 G + 24.966 B + 16) and rounds, matching
+    ``pyiqa.create_metric('niqe')`` preprocessing — the published
+    ``niqe_pris_params.npz`` pristine model was fit under exactly this
+    convention, so scores are only comparable if we reproduce it.
+    """
     img = np.asarray(img, dtype=np.float64)
     if img.ndim == 3 and img.shape[-1] == 3:
-        img = img @ np.array([0.299, 0.587, 0.114])
-    if img.max() <= 1.5:  # [0,1] input
+        if img.max() > 1.5:  # [0,255] input
+            img = img / 255.0
+        img = img @ np.array([65.481, 128.553, 24.966]) + 16.0
+    elif img.max() <= 1.5:  # grayscale [0,1] input
         img = img * 255.0
     return np.round(img)
 

@@ -69,9 +69,10 @@ def test_niqe_ranks_distortions():
     s_clean = niqe(clean, model)
     assert niqe(noisy, model) > s_clean
     assert niqe(blurry, model) > s_clean
-    # RGB [0,1] input resolves to the same Y-channel score
+    # RGB [0,1] input resolves through pyiqa's limited-range to_y_channel
     rgb = np.stack([clean / 255.0] * 3, axis=-1)
-    assert niqe(rgb, model) == pytest.approx(s_clean, rel=1e-6)
+    y_limited = np.round(clean / 255.0 * (65.481 + 128.553 + 24.966) + 16.0)
+    assert niqe(rgb, model) == pytest.approx(niqe(y_limited, model), rel=1e-6)
 
 
 def test_pris_params_npz_roundtrip(tmp_path):
