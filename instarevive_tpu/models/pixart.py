@@ -171,7 +171,11 @@ class SelfAttention(nn.Module):
             v = self._downsample(v, gh, gw)
 
         def heads(t):
-            return jnp.transpose(t.reshape(b, -1, h, hd), (0, 2, 1, 3))
+            # constrain_heads: no-op single-device; under a 'tensor' mesh
+            # axis it pins H/t heads per device (parallel/tp.py layout)
+            from instarevive_tpu.parallel.mesh import constrain_heads
+
+            return constrain_heads(jnp.transpose(t.reshape(b, -1, h, hd), (0, 2, 1, 3)))
 
         out = attention(heads(q), heads(k), heads(v), scale=hd**-0.5, fp32_softmax=True)
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, c)
@@ -214,7 +218,9 @@ class CrossAttention(nn.Module):
         k, v = jnp.split(kv, 2, axis=-1)
 
         def heads(t):
-            return jnp.transpose(t.reshape(b, -1, h, hd), (0, 2, 1, 3))
+            from instarevive_tpu.parallel.mesh import constrain_heads
+
+            return constrain_heads(jnp.transpose(t.reshape(b, -1, h, hd), (0, 2, 1, 3)))
 
         # auto-dispatches to the flash kernel on TPU (300 text keys are
         # padded inside the kernel) — no f32 score materialization

@@ -4,3 +4,7 @@ from instarevive_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
     shard_params,
 )
+from instarevive_tpu.parallel.tp import (  # noqa: F401
+    shard_params_tp,
+    tp_shardings,
+)

@@ -27,15 +27,25 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(
     data: int = -1,
     fsdp: int = 1,
+    tensor: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """('data', 'fsdp') mesh. data=-1 = all remaining devices."""
+    """('data', 'fsdp'[, 'tensor']) mesh. data=-1 = all remaining devices.
+
+    The 'tensor' axis (only materialized when tensor > 1, keeping the
+    2-axis mesh signature for all existing DP/FSDP paths) carries
+    Megatron-style tensor parallelism — see ``parallel/tp.py``. It is
+    innermost so TP collectives ride the fastest ICI links.
+    """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data == -1:
-        if n % fsdp:
-            raise ValueError(f"{n} devices not divisible by fsdp={fsdp}")
-        data = n // fsdp
+        if n % (fsdp * tensor):
+            raise ValueError(f"{n} devices not divisible by fsdp*tensor={fsdp * tensor}")
+        data = n // (fsdp * tensor)
+    if tensor > 1:
+        arr = np.asarray(devices[: data * fsdp * tensor]).reshape(data, fsdp, tensor)
+        return Mesh(arr, ("data", "fsdp", "tensor"))
     arr = np.asarray(devices[: data * fsdp]).reshape(data, fsdp)
     return Mesh(arr, ("data", "fsdp"))
 
@@ -114,6 +124,30 @@ def constrain_batch(x):
         return x
     return jax.lax.with_sharding_constraint(
         x, NamedSharding(m, PartitionSpec(axes))
+    )
+
+
+def constrain_heads(x):
+    """with_sharding_constraint over the head axis (dim 1 of (B, H, N, d))
+    when an ambient mesh has a 'tensor' axis that divides H; no-op
+    otherwise (single-device paths and DP/FSDP meshes are untouched).
+
+    This is what actually splits the N² attention work under tensor
+    parallelism: the qkv projections are computed redundantly (their
+    packed layout can't be head-sharded — see ``parallel/tp.py``), and
+    without an explicit constraint GSPMD's propagation is free to keep
+    the whole attention replicated and only split the row-parallel
+    ``proj`` matmul."""
+    m = _ambient_mesh()
+    if m is None or "tensor" not in m.axis_names:
+        return x
+    t = dict(m.shape)["tensor"]
+    if t <= 1 or x.ndim != 4 or x.shape[1] % t:
+        return x
+    from jax.sharding import PartitionSpec
+
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(m, PartitionSpec(None, "tensor", None, None))
     )
 
 

@@ -393,3 +393,42 @@ class RestorationPipeline:
         rep = M.replicated(mesh)
         bs = M.batch_sharding(mesh)
         return jax.jit(fn, in_shardings=(rep, bs, bs), out_shardings=bs)
+
+    def jitted_tp(self, mesh, **kw) -> Callable:
+        """Tensor-parallel multi-chip inference (beyond reference — the
+        reference serves one process per GPU with no intra-model
+        parallelism): params sharded Megatron-style over the mesh's
+        'tensor' axis (parallel/tp.py), batch sharded over 'data'/'fsdp'
+        if those axes are >1, XLA inserting the per-block all-reduces.
+        This is the latency lever: one image's DiT step is split across
+        chips, unlike ``jitted_sharded`` which only scales throughput.
+
+        The Pallas flash-attention kernel has no GSPMD partitioner, so
+        the trace pins ``IR_ATTN_IMPL=xla``; calls must run inside
+        ``with mesh:`` only at trace time (the constraint hooks probe the
+        ambient mesh), which this wrapper handles itself."""
+        import os
+
+        from instarevive_tpu.parallel import tp as TP
+        from instarevive_tpu.parallel import mesh as M
+
+        fn = partial(self.process, batched_stages=True, **kw)
+        jf = None  # built at first call (needs the params tree's shardings)
+
+        def call(params, x, y):
+            nonlocal jf
+            if jf is None:
+                ps = TP.tp_shardings(params, mesh)
+                bs = M.batch_sharding(mesh)
+                jf = jax.jit(fn, in_shardings=(ps, bs, bs), out_shardings=bs)
+            old = os.environ.get("IR_ATTN_IMPL")
+            os.environ["IR_ATTN_IMPL"] = "xla"
+            try:
+                with mesh:
+                    return jf(params, x, y)
+            finally:
+                if old is None:
+                    os.environ.pop("IR_ATTN_IMPL", None)
+                else:
+                    os.environ["IR_ATTN_IMPL"] = old
+        return call

@@ -39,6 +39,13 @@ def main():
                    help="shard request batches over N devices (one jitted "
                         "program, params replicated, batch split over the "
                         "mesh; batches are padded to a multiple of N)")
+    p.add_argument("--tensor_parallel", type=int, default=0,
+                   help="Megatron-style tensor parallelism over N devices "
+                        "(parallel/tp.py): the DiT's attention heads and "
+                        "MLPs are split per request — the latency lever, "
+                        "vs --data_parallel's throughput scaling. "
+                        "Composes with --data_parallel (data x tensor "
+                        "devices total).")
     args = p.parse_args()
 
     import jax
@@ -63,7 +70,16 @@ def main():
     y1 = np.asarray(params["dit"]["y_embedder"]["y_embedding"])[None][:, :L]
 
     mesh = None
-    if args.data_parallel > 1:
+    tp_mesh = None
+    if args.tensor_parallel > 1:
+        from instarevive_tpu.parallel.mesh import make_mesh
+
+        dp = max(args.data_parallel, 1)
+        tp_mesh = make_mesh(data=dp, tensor=args.tensor_parallel,
+                            devices=jax.devices()[: dp * args.tensor_parallel])
+        if dp > 1:
+            mesh = tp_mesh  # batch padding below keys off data_parallel
+    elif args.data_parallel > 1:
         from instarevive_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(data=args.data_parallel,
@@ -73,7 +89,9 @@ def main():
 
     def get_fn(h, w):
         if (h, w) not in fns:
-            if mesh is not None:
+            if tp_mesh is not None:
+                fns[(h, w)] = pipe.jitted_tp(tp_mesh, color_fix="wavelet")
+            elif mesh is not None:
                 fns[(h, w)] = pipe.jitted_sharded(mesh, color_fix="wavelet")
             else:
                 fns[(h, w)] = jax.jit(
