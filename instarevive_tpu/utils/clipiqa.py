@@ -47,6 +47,14 @@ class CLIPIQA:
         self.tokenizer = tokenizer
         self.prompts = list(prompts)
         self._text_embeds = None
+        # pyiqa's clipiqa scales cosine similarities by the checkpoint's
+        # logit_scale.exp() (pyiqa/archs/clipiqa_arch.py); for clamped
+        # pretrained OpenAI CLIP that is exactly 100. Read it from the
+        # params so non-OpenAI checkpoints score identically to pyiqa.
+        try:
+            self.logit_scale = float(np.exp(np.asarray(model.params["logit_scale"])))
+        except (KeyError, TypeError, AttributeError):
+            self.logit_scale = 100.0
 
     # -- pieces --------------------------------------------------------------
 
@@ -86,9 +94,10 @@ class CLIPIQA:
         img = np.asarray(self.model.get_image_features(pixel_values=pix))
         img = img / np.linalg.norm(img, axis=-1, keepdims=True)
         txt = self._embed_prompts()  # (P, 2, D)
-        # logits = 100 * cos-sim (CLIP's calibrated temperature); softmax
-        # over the (pos, neg) pair -> probability of the positive prompt
-        sims = 100.0 * np.einsum("nd,pkd->npk", img, txt)
+        # logits = logit_scale.exp() * cos-sim (== 100 for pretrained
+        # OpenAI CLIP); softmax over the (pos, neg) pair -> probability
+        # of the positive prompt
+        sims = self.logit_scale * np.einsum("nd,pkd->npk", img, txt)
         e = np.exp(sims - sims.max(axis=-1, keepdims=True))
         probs = e[..., 0] / e.sum(axis=-1)  # (N, P)
         return probs.mean(axis=-1)

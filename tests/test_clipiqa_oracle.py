@@ -51,7 +51,11 @@ def _torch_clipiqa(model_t, tok, imgs01_nchw_native, prompts):
         )
         f_txt = f_txt / f_txt.norm(dim=-1, keepdim=True)
         f_txt = f_txt.reshape(len(prompts), 2, -1)
-        logits = 100.0 * torch.einsum("nd,pkd->npk", f_img, f_txt)
+        # pyiqa scales by the checkpoint's logit_scale.exp() (== 100 only
+        # for clamped pretrained OpenAI CLIP) — derive it, don't hardcode,
+        # so the oracle catches divergence on arbitrary checkpoints.
+        scale = torch.exp(model_t.logit_scale)
+        logits = scale * torch.einsum("nd,pkd->npk", f_img, f_txt)
         probs = torch.softmax(logits, dim=-1)[..., 0]  # (N, P)
         return probs.mean(dim=-1).numpy()
 
@@ -64,8 +68,9 @@ def test_clipiqa_scores_match_torch_oracle(clip_pair):
     m, mt, tok = clip_pair
     size = int(m.config.vision_config.image_size)
     imgs = np.random.default_rng(0).random((3, size, size, 3)).astype(np.float32)
-    ours = CLIPIQA(model=m, tokenizer=tok)(imgs)
-    ref = _torch_clipiqa(mt, tok, _normalize_nchw(imgs), CLIPIQA(model=m, tokenizer=tok).prompts)
+    metric = CLIPIQA(model=m, tokenizer=tok)
+    ours = metric(imgs)
+    ref = _torch_clipiqa(mt, tok, _normalize_nchw(imgs), metric.prompts)
     np.testing.assert_allclose(ours, ref, atol=5e-5)
 
 
