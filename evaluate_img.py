@@ -8,7 +8,9 @@ pass --niqe_params niqe_pris_params.npz (basicsr/pyiqa format) or
 remaining pyiqa no-ref metrics are implemented natively with weight
 importers: --musiq_params (npz, utils/musiq.py) and --maniqa_ckpt (official
 torch checkpoint, utils/maniqa.py) enable MUSIQ/MANIQA; --clipiqa_model a
-local CLIP dir; --lpips_ckpt/--alexnet_ckpt enable LPIPS.
+local HF CLIP dir or an OpenAI CLIP RN50 state dict (pyiqa's default
+backbone, native ModifiedResNet in models/clip_rn50.py);
+--lpips_ckpt/--alexnet_ckpt enable LPIPS.
 """
 
 from __future__ import annotations
@@ -36,8 +38,13 @@ def main():
     p.add_argument("--maniqa_ckpt", default=None,
                    help="official MANIQA torch checkpoint (incl. ViT-B/8 trunk)")
     p.add_argument("--clipiqa_model", default=None,
-                   help="local HF CLIP dir (model+tokenizer) for the CLIP-IQA "
-                        "no-reference metric")
+                   help="CLIP weights for the CLIP-IQA no-reference metric: "
+                        "a local HF CLIP dir (model+tokenizer), or an OpenAI "
+                        "CLIP RN50 state dict .pt/.pth (pyiqa's default "
+                        "backbone — scores comparable with published evals)")
+    p.add_argument("--clipiqa_tokenizer", default=None,
+                   help="local HF CLIP tokenizer dir (required with an RN50 "
+                        "state dict; optional override for HF dirs)")
     args = p.parse_args()
 
     import jax.numpy as jnp
@@ -92,7 +99,8 @@ def main():
     if args.clipiqa_model:
         from instarevive_tpu.utils.clipiqa import CLIPIQA
 
-        clipiqa_fn = CLIPIQA(model_dir=args.clipiqa_model)
+        clipiqa_fn = CLIPIQA(model_dir=args.clipiqa_model,
+                             tokenizer_dir=args.clipiqa_tokenizer)
 
     results = {"psnr": [], "ssim": [], "lpips": [], "niqe": [], "clipiqa": [],
                "musiq": [], "maniqa": []}

@@ -572,3 +572,71 @@ def midas_v21_params_from_torch(sd: Mapping[str, Any], layers=(3, 4, 23, 3)) -> 
     _conv(p, "head_conv2", sd, "scratch.output_conv.2")
     _conv(p, "head_conv3", sd, "scratch.output_conv.4")
     return p
+
+
+def clip_rn50_params_from_torch(sd: Mapping[str, Any]):
+    """OpenAI CLIP ModifiedResNet state dict (the ``RN50`` checkpoint key
+    schema: visual.conv1..3/bn1..3 stem, visual.layerL.B bottlenecks with
+    avgpool downsample at ``downsample.0/1``, visual.attnpool q/k/v/c_proj,
+    plus the text transformer) -> (visual_params, text_params, logit_scale,
+    meta) for ``models.clip_rn50``. BatchNorms fold into conv scale/bias
+    (eval-mode inference). Hyperparameters are inferred from tensor shapes
+    the way pyiqa/openai ``build_model`` does."""
+    sd = strip_prefixes(sd)
+    # -- meta from shapes ----------------------------------------------------
+    layers = tuple(
+        1 + max(int(k.split(".")[2]) for k in sd
+                if k.startswith(f"visual.layer{li}."))
+        for li in (1, 2, 3, 4)
+    )
+    vision_width = int(_np(sd["visual.conv1.weight"]).shape[0]) * 2
+    embed_dim = int(_np(sd["text_projection"]).shape[1])
+    grid = int(round((_np(sd["visual.attnpool.positional_embedding"]).shape[0] - 1) ** 0.5))
+    meta = {
+        "layers": layers,
+        "embed_dim": embed_dim,
+        "vision_width": vision_width,
+        "vision_heads": vision_width * 32 // 64,
+        "image_size": grid * 32,
+        "text_width": int(_np(sd["ln_final.weight"]).shape[0]),
+        "text_layers": 1 + max(int(k.split(".")[2]) for k in sd
+                               if k.startswith("transformer.resblocks.")),
+        "text_heads": int(_np(sd["ln_final.weight"]).shape[0]) // 64,
+        "vocab_size": int(_np(sd["token_embedding.weight"]).shape[0]),
+        "context_length": int(_np(sd["positional_embedding"]).shape[0]),
+    }
+    # -- image tower ----------------------------------------------------------
+    v: Dict[str, Any] = {}
+    for ci in (1, 2, 3):
+        _bn_fold_conv(v, f"conv{ci}", sd, f"visual.conv{ci}", f"visual.bn{ci}")
+    for si, depth in enumerate(layers):
+        for bi in range(depth):
+            tb = f"visual.layer{si + 1}.{bi}."
+            fb = f"layer{si + 1}_block{bi}"
+            for ci in (1, 2, 3):
+                _bn_fold_conv(v, f"{fb}/conv{ci}", sd, f"{tb}conv{ci}", f"{tb}bn{ci}")
+            if f"{tb}downsample.0.weight" in sd:
+                _bn_fold_conv(v, f"{fb}/downsample", sd,
+                              f"{tb}downsample.0", f"{tb}downsample.1")
+    _set(v, "attnpool/positional_embedding",
+         _np(sd["visual.attnpool.positional_embedding"]))
+    for proj in ("q_proj", "k_proj", "v_proj", "c_proj"):
+        _dense(v, f"attnpool/{proj}", sd, f"visual.attnpool.{proj}")
+    # -- text tower -----------------------------------------------------------
+    t: Dict[str, Any] = {}
+    _set(t, "token_embedding", _np(sd["token_embedding.weight"]))
+    _set(t, "positional_embedding", _np(sd["positional_embedding"]))
+    for i in range(meta["text_layers"]):
+        tb = f"transformer.resblocks.{i}."
+        fb = f"resblock_{i}"
+        _norm(t, f"{fb}/ln_1", sd, f"{tb}ln_1")
+        _norm(t, f"{fb}/ln_2", sd, f"{tb}ln_2")
+        _set(t, f"{fb}/in_proj/kernel", dense_kernel(sd[f"{tb}attn.in_proj_weight"]))
+        _set(t, f"{fb}/in_proj/bias", _np(sd[f"{tb}attn.in_proj_bias"]))
+        _dense(t, f"{fb}/out_proj", sd, f"{tb}attn.out_proj")
+        _dense(t, f"{fb}/c_fc", sd, f"{tb}mlp.c_fc")
+        _dense(t, f"{fb}/c_proj", sd, f"{tb}mlp.c_proj")
+    _norm(t, "ln_final", sd, "ln_final")
+    _set(t, "text_projection", _np(sd["text_projection"]))
+    logit_scale = float(_np(sd["logit_scale"]))
+    return v, t, logit_scale, meta

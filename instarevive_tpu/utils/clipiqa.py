@@ -8,11 +8,12 @@ antonym prompt pair — default ("Good photo.", "Bad photo.") — so no
 IQA-specific pretrained weights are needed beyond a local CLIP
 checkpoint (zero-egress: pass a downloaded HF CLIP dir).
 
-Backbone note: pyiqa's ``clipiqa`` default uses CLIP RN50 (unavailable
-in HF/Flax); this implementation runs any HF Flax CLIP (ViT family),
-so absolute values are backbone-dependent while the ranking behavior
-matches the method. The multi-prompt "+" variant is supported via
-``prompts=[(pos, neg), ...]`` (scores averaged).
+Backbones: pass ``model_dir`` as an HF Flax CLIP directory (ViT family),
+or as an OpenAI CLIP **RN50** state dict file (.pt/.pth) — pyiqa's
+default backbone, served natively by models/clip_rn50.py (plus
+``tokenizer_dir`` for the BPE vocab); with RN50 weights the absolute
+scores are pyiqa-comparable. The multi-prompt "+" variant is supported
+via ``prompts=[(pos, neg), ...]`` (scores averaged).
 """
 
 from __future__ import annotations
@@ -37,12 +38,31 @@ class CLIPIQA:
         model=None,
         tokenizer=None,
         prompts: Sequence[Tuple[str, str]] = DEFAULT_PROMPTS,
+        tokenizer_dir: str | None = None,
     ):
         if model is None or tokenizer is None:
-            from transformers import AutoTokenizer, FlaxCLIPModel
+            from transformers import AutoTokenizer
 
-            model = FlaxCLIPModel.from_pretrained(model_dir)
-            tokenizer = AutoTokenizer.from_pretrained(model_dir)
+            if model_dir and model_dir.endswith((".pt", ".pth")):
+                # an OpenAI CLIP RN50 state dict file: pyiqa's default
+                # backbone, served by the native ModifiedResNet towers
+                # (models/clip_rn50.py) — absolute scores become
+                # pyiqa-comparable. The BPE tokenizer comes from any local
+                # HF CLIP dir (same vocab across all OpenAI CLIP models).
+                from instarevive_tpu.models.clip_rn50 import OpenAICLIP
+
+                model = OpenAICLIP.from_torch(model_dir)
+                if tokenizer is None:
+                    if not tokenizer_dir:
+                        raise ValueError(
+                            "RN50 checkpoints need --clipiqa_tokenizer "
+                            "(a local HF CLIP tokenizer dir)")
+                    tokenizer = AutoTokenizer.from_pretrained(tokenizer_dir)
+            else:
+                from transformers import FlaxCLIPModel
+
+                model = FlaxCLIPModel.from_pretrained(model_dir)
+                tokenizer = AutoTokenizer.from_pretrained(tokenizer_dir or model_dir)
         self.model = model
         self.tokenizer = tokenizer
         self.prompts = list(prompts)
