@@ -127,8 +127,60 @@ def main():
                 "vs_baseline": round(mps / BASELINE_3090_MPS, 3),
                 "baseline": "estimated",  # 0.55 MP/s RTX-3090 estimate, not measured
             }
-        )
+        ),
+        flush=True,
     )
+
+    # BENCH_TILED=1: additionally machine-capture the tiled headline
+    # (BENCH.md round-4 geometry sweep) as extra JSON lines — auto geometry
+    # (576/512 at 1024^2: 4 tiles, 1.27x overlap work) and the reference
+    # default 512/448 (test_scripts/inference.py:182-183: 9 tiles, 2.25x).
+    # Per-dispatch chained loop = the sweep's methodology (r3 cross-check:
+    # per-dispatch 2.99 vs device-loop 3.02, noise-level at ~1 s/dispatch);
+    # chaining output->input defeats the relay's identical-dispatch
+    # memoization. Off by default so the driver's plain run stays one line.
+    if os.environ.get("BENCH_TILED", "0") == "1" and mode == "plain":
+        from instarevive_tpu.pipelines.restore import auto_tile_geometry
+
+        tbatch = int(os.environ.get("BENCH_TILED_BATCH", str(batch)))
+        tsize = int(os.environ.get("BENCH_TILED_SIZE", "1024" if backend == "tpu" else str(size)))
+        titers = int(os.environ.get("BENCH_TILED_ITERS", "5" if backend == "tpu" else "1"))
+        y_t = jnp.zeros((tbatch, pipe.dit.model_max_length, pipe.dit.caption_channels))
+        geoms = [("auto",) + auto_tile_geometry(tsize, tsize), ("reference", 512, 448)]
+        seen = set()
+        for tag, tile, stride in geoms:
+            if (tile, stride) in seen or tile > tsize:
+                continue  # tiny/CPU smoke: both geometries collapse to one tile
+            seen.add((tile, stride))
+
+            def tstep(p, x, yy, tile=tile, stride=stride):
+                return pipe.process_tiled(
+                    p, x, yy, tile_size=tile, tile_stride=stride, color_fix="wavelet"
+                )
+
+            tfn = jax.jit(tstep)
+            cur = jnp.full((tbatch, tsize, tsize, 3), 0.5, jnp.float32)
+            out = tfn(params, cur, y_t)  # warmup/compile
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            for _ in range(titers):
+                cur = out.astype(cur.dtype)
+                out = tfn(params, cur, y_t)
+            jax.block_until_ready(out)
+            tdt = (time.perf_counter() - t0) / titers
+            tmps = tbatch * tsize * tsize / 1e6 / tdt
+            print(
+                json.dumps(
+                    {
+                        "metric": f"tiled restoration throughput ({tsize}x{tsize} out, batch {tbatch}, tile {tile}/{stride} {tag}, {backend})",
+                        "value": round(tmps, 4),
+                        "unit": "MP/s/chip",
+                        "vs_baseline": round(tmps / BASELINE_3090_MPS, 3),
+                        "baseline": "estimated",
+                    }
+                ),
+                flush=True,
+            )
 
 
 def _looks_like_outage(text: str) -> bool:
