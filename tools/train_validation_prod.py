@@ -279,44 +279,51 @@ def main():
                                   ema_rate=args.ema_rate, ema_dtype=jnp.bfloat16)
     fake_state = TrainState.create(f32(teacher), fake_tx, ema=False)
 
-    def dmd_chunk_fn(gen_state, fake_state, teacher_p, pn, pl, keys, js):
+    def dmd_step_fn(gen_state, fake_state, teacher_p, batch, k):
         def teacher_fn(z, t, **c):
             return eps_fn(teacher_p, z, t, **c)
 
         step = make_dmd_train_step(sched, eps_fn, teacher_fn, eps_fn,
                                    TrainState, maxt=args.maxt,
                                    regression_weight=0.25)
+        return step(gen_state, fake_state, batch, k, {"y": y_d})
 
-        def body(carry, kj):
-            g, f = carry
-            k, j = kj
-            batch = {"noise": pn[j], "latent": pl[j]}
-            g, f, m = step(g, f, batch, k, {"y": y_d})
-            return (g, f), (m["regression"], m["dm"], m["fake_score"])
-
-        (g, f), ms = jax.lax.scan(body, (gen_state, fake_state), (keys, js))
-        return g, f, ms
-
-    # donate both states (r4: un-donated XL-2 states double-buffer ~9.7 GiB
-    # and OOM one chip); teacher rides as an argument, never a constant
-    dmd_chunk = jax.jit(dmd_chunk_fn, donate_argnums=(0, 1))
+    # ONE step per dispatch, exactly train.py's production shape. Wrapping
+    # the two XL-2 states in a lax.scan carry instead OOMs the chip: XLA
+    # inserts carry copies at the loop boundary (20.25M f32 weight
+    # copy-starts in the HBM dump) that double-buffer part of the ~12 GiB
+    # state — measured 17.52G > 15.75G at compile. Donate both states (r4:
+    # un-donated states double-buffer ~9.7 GiB); teacher rides as an
+    # argument, never a constant.
+    dmd_step = jax.jit(dmd_step_fn, donate_argnums=(0, 1))
 
     curve_b = []
     t0 = time.time()
-    n_chunks = max(args.dmd_steps // args.chunk, 1)
-    for c in range(n_chunks):
+    pending = None  # fetch metrics one chunk late: never blocks the chip
+    for i in range(args.dmd_steps):
         key, sk = jax.random.split(key)
-        js = (jnp.arange(args.chunk) + c * args.chunk) % n_pd
-        gen_state, fake_state, ms = dmd_chunk(
-            gen_state, fake_state, teacher, pair_noise, pair_latent,
-            jax.random.split(sk, args.chunk), js)
-        i = (c + 1) * args.chunk - 1
-        curve_b.append((i, float(ms[0][-1]), float(ms[1][-1]), float(ms[2][-1])))
-        print(f"[B +{time.time() - t0_all:.0f}s] step {i} "
+        j = i % n_pd
+        batch = {"noise": pair_noise[j], "latent": pair_latent[j]}
+        gen_state, fake_state, m = dmd_step(
+            gen_state, fake_state, teacher, batch, sk)
+        if (i + 1) % args.chunk == 0:
+            if pending is not None:
+                pi, pm = pending
+                curve_b.append((pi, float(pm["regression"]), float(pm["dm"]),
+                                float(pm["fake_score"])))
+                print(f"[B +{time.time() - t0_all:.0f}s] step {pi} "
+                      f"reg={curve_b[-1][1]:.4f} dm={curve_b[-1][2]:.4f} "
+                      f"fake={curve_b[-1][3]:.4f}", flush=True)
+            pending = (i, m)
+    if pending is not None:
+        pi, pm = pending
+        curve_b.append((pi, float(pm["regression"]), float(pm["dm"]),
+                        float(pm["fake_score"])))
+        print(f"[B +{time.time() - t0_all:.0f}s] step {pi} "
               f"reg={curve_b[-1][1]:.4f} dm={curve_b[-1][2]:.4f} "
               f"fake={curve_b[-1][3]:.4f}", flush=True)
     dt_b = time.time() - t0
-    steps_b = n_chunks * args.chunk
+    steps_b = args.dmd_steps
     del fake_state
 
     lines += ["## Stage B — DMD distillation (production step: regression "
