@@ -574,6 +574,53 @@ def midas_v21_params_from_torch(sd: Mapping[str, Any], layers=(3, 4, 23, 3)) -> 
     return p
 
 
+def midas_v21_small_params_from_torch(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """Reference MidasNet_small state_dict (midas/midas_net_custom.py:12-105
+    with the torch.hub tf_efficientnet_lite3 encoder split by
+    _make_efficientnet_backbone, blocks.py:88-98: pretrained.layer1 =
+    Sequential(conv_stem, bn1, act1, blocks[0], blocks[1]); layer2 =
+    blocks[2]; layer3 = blocks[3:5]; layer4 = blocks[5:9]) -> flax params
+    for ``models.dpt.MidasNetSmall``. BatchNorms fold with the tf_ variant
+    eps 1e-3 (gen-efficientnet BN_EPS_TF_DEFAULT)."""
+    from ..models.dpt import LITE3_STAGES
+
+    sd = strip_prefixes(sd)
+    p: Dict[str, Any] = {}
+    eps = 1e-3
+    # torch Sequential slot of each effnet stage inside pretrained.layerN
+    stage_prefix = {
+        0: "pretrained.layer1.3", 1: "pretrained.layer1.4",
+        2: "pretrained.layer2.0", 3: "pretrained.layer3.0",
+        4: "pretrained.layer3.1", 5: "pretrained.layer4.0",
+        6: "pretrained.layer4.1",
+    }
+    _bn_fold_conv(p, "backbone/conv_stem", sd,
+                  "pretrained.layer1.0", "pretrained.layer1.1", eps=eps)
+    for si, (reps, _, _, _, e) in enumerate(LITE3_STAGES):
+        for bi in range(reps):
+            tb = f"{stage_prefix[si]}.{bi}."
+            fb = f"backbone/stage{si}_block{bi}"
+            if e == 1:  # depthwise-separable: conv_dw+bn1, conv_pw+bn2
+                _bn_fold_conv(p, f"{fb}/conv_dw", sd, tb + "conv_dw", tb + "bn1", eps=eps)
+                _bn_fold_conv(p, f"{fb}/conv_pw", sd, tb + "conv_pw", tb + "bn2", eps=eps)
+            else:  # inverted residual: conv_pw+bn1, conv_dw+bn2, conv_pwl+bn3
+                _bn_fold_conv(p, f"{fb}/conv_pw", sd, tb + "conv_pw", tb + "bn1", eps=eps)
+                _bn_fold_conv(p, f"{fb}/conv_dw", sd, tb + "conv_dw", tb + "bn2", eps=eps)
+                _bn_fold_conv(p, f"{fb}/conv_pwl", sd, tb + "conv_pwl", tb + "bn3", eps=eps)
+    for li in range(4):
+        _conv_nobias(p, f"layer{li + 1}_rn", sd, f"scratch.layer{li + 1}_rn")
+    for ri in range(1, 5):
+        rb, fb = f"scratch.refinenet{ri}.", f"refinenet{ri}"
+        for ui, fu in ((1, "rcu1"), (2, "rcu2")):
+            _conv(p, f"{fb}/{fu}/conv1", sd, f"{rb}resConfUnit{ui}.conv1")
+            _conv(p, f"{fb}/{fu}/conv2", sd, f"{rb}resConfUnit{ui}.conv2")
+        _conv(p, f"{fb}/out_conv", sd, f"{rb}out_conv")
+    _conv(p, "head_conv1", sd, "scratch.output_conv.0")
+    _conv(p, "head_conv2", sd, "scratch.output_conv.2")
+    _conv(p, "head_conv3", sd, "scratch.output_conv.4")
+    return p
+
+
 def clip_rn50_params_from_torch(sd: Mapping[str, Any]):
     """OpenAI CLIP ModifiedResNet state dict (the ``RN50`` checkpoint key
     schema: visual.conv1..3/bn1..3 stem, visual.layerL.B bottlenecks with

@@ -231,9 +231,11 @@ class ResidualConvUnit(nn.Module):
 
 class FeatureFusionBlock(nn.Module):
     """blocks.py:291-341 (FeatureFusionBlock_custom, align_corners=True,
-    expand=False, deconv=False)."""
+    deconv=False). ``out_features`` is the expand=True halving used by
+    MidasNet_small (blocks.py:308-313); None keeps the DPT behavior."""
 
     features: int
+    out_features: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, skip=None):
@@ -242,7 +244,8 @@ class FeatureFusionBlock(nn.Module):
         x = ResidualConvUnit(self.features, name="rcu2")(x)
         h, w = x.shape[1] * 2, x.shape[2] * 2
         x = interpolate(x, (h, w), mode="bilinear", align_corners=True)
-        return nn.Conv(self.features, (1, 1), name="out_conv")(x)
+        return nn.Conv(self.out_features or self.features, (1, 1),
+                       name="out_conv")(x)
 
 
 # ------------------------------------------------------------ the model ---
@@ -467,9 +470,8 @@ class MidasNet(nn.Module):
     """midas_net.py:12-76 — MiDaS v2.1 large (ResNeXt101-WSL encoder +
     RefineNet decoder). The reference pulls the encoder from torch.hub
     (blocks.py:114-116); here it is a native flax backbone with BN folded
-    at import. midas_v21_small (efficientnet-lite3, also hub-fetched)
-    remains out of scope — the DPT family is what SD depth2img ships.
-    """
+    at import. midas_v21_small (efficientnet-lite3, also hub-fetched) is
+    ``MidasNetSmall`` below."""
 
     features: int = 256
     non_negative: bool = True
@@ -504,6 +506,125 @@ class MidasNet(nn.Module):
         return y[..., 0]
 
 
+# -------------------------------------- MidasNet_small (midas_v21_small) ---
+
+
+def _relu6(x):
+    return jnp.minimum(jax.nn.relu(x), 6.0)
+
+
+# tf_efficientnet_lite3 stage plan: (repeats, out_ch, kernel, stride,
+# expand_ratio). gen-efficientnet _gen_efficientnet_lite arch_def with
+# channel_multiplier=1.2 / depth_multiplier=1.4 / fix_first_last /
+# fix_stem=32: channels = round_channels(c*1.2, divisor 8, round_limit
+# 0.9) -> 24/32/48/96/136/232/384; repeats = ceil(r*1.4) except the fixed
+# first/last stages -> 1/3/3/5/5/6/1. Feature taps after stages 1/2/4/6
+# give the [32, 48, 136, 384] widths blocks.py:41 hardcodes for scratch.
+LITE3_STAGES: Tuple[Tuple[int, int, int, int, int], ...] = (
+    (1, 24, 3, 1, 1),
+    (3, 32, 3, 2, 6),
+    (3, 48, 5, 2, 6),
+    (5, 96, 3, 2, 6),
+    (5, 136, 5, 1, 6),
+    (6, 232, 5, 2, 6),
+    (1, 384, 3, 1, 6),
+)
+
+
+class _MBConvLite(nn.Module):
+    """gen-efficientnet InvertedResidual / DepthwiseSeparableConv, 'lite'
+    flavor: no squeeze-excite, ReLU6, TF-SAME padding (flax "SAME" ==
+    TF SAME: asymmetric hi-pad for even inputs under stride 2). BN is
+    folded into conv scale/bias at import (eval-mode running stats,
+    tf_ BN eps 1e-3)."""
+
+    out_ch: int
+    kernel: int
+    stride: int
+    expand: int  # expansion ratio; 1 => depthwise-separable (stage 0)
+
+    @nn.compact
+    def __call__(self, x):
+        shortcut = x
+        y = x
+        if self.expand > 1:
+            y = nn.Conv(x.shape[-1] * self.expand, (1, 1), name="conv_pw")(y)
+            y = _relu6(y)
+        y = nn.Conv(
+            y.shape[-1], (self.kernel, self.kernel), strides=self.stride,
+            padding="SAME", feature_group_count=y.shape[-1], name="conv_dw",
+        )(y)
+        y = _relu6(y)
+        # the project conv is keyed conv_pw in the DS block, conv_pwl in IR
+        y = nn.Conv(self.out_ch, (1, 1),
+                    name="conv_pwl" if self.expand > 1 else "conv_pw")(y)
+        if self.stride == 1 and shortcut.shape[-1] == self.out_ch:
+            y = y + shortcut
+        return y
+
+
+class EfficientNetLite3Backbone(nn.Module):
+    """tf_efficientnet_lite3 feature stages, split as the reference's
+    _make_efficientnet_backbone does (blocks.py:88-98): layer1 = stem +
+    stages 0-1 (/4), layer2 = stage 2 (/8), layer3 = stages 3-4 (/16),
+    layer4 = stages 5-6 (/32). The reference torch.hub-fetches this
+    encoder (blocks.py:78-85); here it is native flax."""
+
+    stages: Tuple[Tuple[int, int, int, int, int], ...] = LITE3_STAGES
+    stem_ch: int = 32  # fix_stem: NOT width-scaled
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.stem_ch, (3, 3), strides=2, padding="SAME",
+                    name="conv_stem")(x)
+        x = _relu6(x)
+        feats = []
+        for si, (reps, out_ch, k, s, e) in enumerate(self.stages):
+            for bi in range(reps):
+                x = _MBConvLite(out_ch, k, s if bi == 0 else 1, e,
+                                name=f"stage{si}_block{bi}")(x)
+            if si in (1, 2, 4, 6):
+                feats.append(x)
+        return tuple(feats)
+
+
+class MidasNetSmall(nn.Module):
+    """midas_net_custom.py:12-105 — MidasNet_small(features=64,
+    backbone="efficientnet_lite3", non_negative=True, blocks={'expand':
+    True}), the api.py:105-112 configuration. Decoder = _make_scratch with
+    expand (64/128/256/512 rn widths, blocks.py:49-75) + four
+    FeatureFusionBlock_custom (align_corners=True, out_conv halves
+    channels when expanding) + the output_conv head whose Interpolate uses
+    align_corners=False (midas_net_custom.py:59-67)."""
+
+    features: int = 64
+    non_negative: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        feats = EfficientNetLite3Backbone(name="backbone")(x)
+        f = self.features
+        fs = (f, f * 2, f * 4, f * 8)  # expand=True scratch widths
+        rn = [
+            nn.Conv(fs[li], (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+                    name=f"layer{li + 1}_rn")(feats[li])
+            for li in range(4)
+        ]
+        path = FeatureFusionBlock(fs[3], out_features=fs[2], name="refinenet4")(rn[3])
+        path = FeatureFusionBlock(fs[2], out_features=fs[1], name="refinenet3")(path, rn[2])
+        path = FeatureFusionBlock(fs[1], out_features=fs[0], name="refinenet2")(path, rn[1])
+        path = FeatureFusionBlock(fs[0], name="refinenet1")(path, rn[0])
+
+        y = nn.Conv(f // 2, (3, 3), padding=((1, 1), (1, 1)), name="head_conv1")(path)
+        y = interpolate(y, (y.shape[1] * 2, y.shape[2] * 2), mode="bilinear")
+        y = nn.Conv(32, (3, 3), padding=((1, 1), (1, 1)), name="head_conv2")(y)
+        y = jax.nn.relu(y)
+        y = nn.Conv(1, (1, 1), name="head_conv3")(y)
+        if self.non_negative:
+            y = jax.nn.relu(y)
+        return y[..., 0]
+
+
 # --------------------------------------------------------- MiDaSInference ---
 
 # api.py:34-49 — per-model input normalization (applied to [0,1] RGB)
@@ -521,6 +642,19 @@ def build_dpt(model_type: str = "dpt_hybrid") -> DPTDepthModel:
         "dpt_vitb16": "vitb16_384",
     }[model_type]
     return DPTDepthModel(VARIANTS[backbone])
+
+
+def build_midas(model_type: str = "dpt_hybrid") -> nn.Module:
+    """api.py load_model (api.py:73-133): the full model_type switch incl.
+    the MiDaS v2.1 family. Pair with ``MiDaSInference(model, params,
+    model_type)`` for the reference's transform conventions."""
+    if model_type.startswith("dpt_"):
+        return build_dpt(model_type)
+    if model_type == "midas_v21":
+        return MidasNet()
+    if model_type == "midas_v21_small":
+        return MidasNetSmall()
+    raise ValueError(f"unknown MiDaS model_type: {model_type}")
 
 
 def midas_transform_size(

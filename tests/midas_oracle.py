@@ -380,6 +380,136 @@ def _randomize_bn_stats(model, seed=0):
                 m.running_var.uniform_(0.5, 2.0, generator=g)
 
 
+# -------------------------- gen-efficientnet lite3 (midas_v21_small) ---
+
+
+class Conv2dSame(nn.Conv2d):
+    """gen-efficientnet Conv2dSame(Export): plain conv with TF-SAME dynamic
+    padding (what every conv in a tf_ model resolves to; for stride-1 odd-k
+    convs it equals static padding k//2)."""
+
+    def __init__(self, in_chs, out_chs, k, stride=1, groups=1, bias=False):
+        super().__init__(in_chs, out_chs, k, stride=stride, padding=0,
+                         groups=groups, bias=bias)
+
+    def forward(self, x):
+        x = _pad_same(x, self.kernel_size[0], self.stride[0])
+        return F.conv2d(x, self.weight, self.bias, self.stride, 0,
+                        self.dilation, self.groups)
+
+
+class _DSBlockLite(nn.Module):
+    """DepthwiseSeparableConv, lite flavor (no SE, ReLU6, BN eps 1e-3):
+    conv_dw+bn1+act1, conv_pw+bn2 — gen-efficientnet key names."""
+
+    def __init__(self, in_ch, out_ch, k=3, stride=1):
+        super().__init__()
+        self.conv_dw = Conv2dSame(in_ch, in_ch, k, stride, groups=in_ch)
+        self.bn1 = nn.BatchNorm2d(in_ch, eps=1e-3)
+        self.act1 = nn.ReLU6(inplace=True)
+        self.conv_pw = Conv2dSame(in_ch, out_ch, 1)
+        self.bn2 = nn.BatchNorm2d(out_ch, eps=1e-3)
+        self.has_residual = stride == 1 and in_ch == out_ch
+
+    def forward(self, x):
+        s = x
+        x = self.act1(self.bn1(self.conv_dw(x)))
+        x = self.bn2(self.conv_pw(x))
+        return x + s if self.has_residual else x
+
+
+class _IRBlockLite(nn.Module):
+    """InvertedResidual, lite flavor: conv_pw+bn1+act1, conv_dw+bn2+act2,
+    conv_pwl+bn3 (no SE)."""
+
+    def __init__(self, in_ch, out_ch, k, stride, exp=6):
+        super().__init__()
+        mid = in_ch * exp
+        self.conv_pw = Conv2dSame(in_ch, mid, 1)
+        self.bn1 = nn.BatchNorm2d(mid, eps=1e-3)
+        self.act1 = nn.ReLU6(inplace=True)
+        self.conv_dw = Conv2dSame(mid, mid, k, stride, groups=mid)
+        self.bn2 = nn.BatchNorm2d(mid, eps=1e-3)
+        self.act2 = nn.ReLU6(inplace=True)
+        self.conv_pwl = Conv2dSame(mid, out_ch, 1)
+        self.bn3 = nn.BatchNorm2d(out_ch, eps=1e-3)
+        self.has_residual = stride == 1 and in_ch == out_ch
+
+    def forward(self, x):
+        s = x
+        x = self.act1(self.bn1(self.conv_pw(x)))
+        x = self.act2(self.bn2(self.conv_dw(x)))
+        x = self.bn3(self.conv_pwl(x))
+        return x + s if self.has_residual else x
+
+
+# must stay in lockstep with models/dpt.py LITE3_STAGES
+_LITE3_STAGES = (
+    (1, 24, 3, 1, 1),
+    (3, 32, 3, 2, 6),
+    (3, 48, 5, 2, 6),
+    (5, 96, 3, 2, 6),
+    (5, 136, 5, 1, 6),
+    (6, 232, 5, 2, 6),
+    (1, 384, 3, 1, 6),
+)
+
+
+class TorchEffnetLite3(nn.Module):
+    """The exact gen-efficientnet tf_efficientnet_lite3 surface that the
+    reference's _make_efficientnet_backbone slices (blocks.py:88-98):
+    conv_stem/bn1/act1 + blocks[0..6] stage Sequentials, width 1.2 / depth
+    1.4 lite scaling (stem fixed 32, first/last stage repeats fixed)."""
+
+    def __init__(self):
+        super().__init__()
+        self.conv_stem = Conv2dSame(3, 32, 3, 2)
+        self.bn1 = nn.BatchNorm2d(32, eps=1e-3)
+        self.act1 = nn.ReLU6(inplace=True)
+        stages = []
+        in_ch = 32
+        for reps, out_ch, k, s, e in _LITE3_STAGES:
+            blocks = []
+            for bi in range(reps):
+                stride = s if bi == 0 else 1
+                blocks.append(
+                    _DSBlockLite(in_ch, out_ch, k, stride) if e == 1
+                    else _IRBlockLite(in_ch, out_ch, k, stride, e)
+                )
+                in_ch = out_ch
+            stages.append(nn.Sequential(*blocks))
+        self.blocks = nn.Sequential(*stages)
+
+
+def build_reference_midas_v21_small(seed=0):
+    """Reference MidasNet_small (midas/midas_net_custom.py:12-105) with
+    torch.hub stubbed to the TorchEffnetLite3 transcription — init and
+    forward are the reference's own code; only the hub-fetched encoder is
+    transcribed. Full lite3 depth (the net is only ~7M params)."""
+    load_reference_midas()
+    import importlib.util
+
+    torch.manual_seed(seed)
+    effnet = TorchEffnetLite3()
+    _randomize_bn_stats(effnet, seed)
+
+    orig_hub_load = torch.hub.load
+    torch.hub.load = lambda *a, **k: effnet
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "refmidas.midas_net_custom",
+            f"{_REF}/ldm/modules/midas/midas/midas_net_custom.py",
+        )
+        mnc = importlib.util.module_from_spec(spec)
+        sys.modules["refmidas.midas_net_custom"] = mnc
+        spec.loader.exec_module(mnc)
+        model = mnc.MidasNet_small()
+    finally:
+        torch.hub.load = orig_hub_load
+    model.eval()
+    return model
+
+
 def build_reference_midas_v21(layers=(1, 1, 1, 1), features=64, seed=0):
     """Reference MidasNet (midas/midas_net.py) with torch.hub stubbed to the
     TVResNeXt transcription (real stage widths 256..2048; tiny depth)."""

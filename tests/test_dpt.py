@@ -175,3 +175,44 @@ def test_midas_v21_parity():
     err = np.abs(got - want).max()
     scale = np.abs(want).max() + 1e-8
     assert err / scale < 5e-4, (err, scale)
+
+
+def test_midas_v21_small_parity():
+    """MiDaS v2.1 small (efficientnet-lite3 MidasNet_small,
+    midas/midas_net_custom.py:12-105) vs the reference class with torch.hub
+    stubbed to the gen-efficientnet lite3 transcription — FULL lite3 depth
+    (1/3/3/5/5/6/1 blocks, real widths 24..384), exercising TF-SAME strided
+    depthwise convs and the tf_ BN eps 1e-3 folding."""
+    from tests.midas_oracle import build_reference_midas_v21_small
+    from instarevive_tpu.convert.torch_import import midas_v21_small_params_from_torch
+    from instarevive_tpu.models.dpt import MidasNetSmall
+
+    ref = build_reference_midas_v21_small(seed=3)
+    params = midas_v21_small_params_from_torch(ref.state_dict())
+    model = MidasNetSmall()
+
+    rng = np.random.default_rng(17)
+    x = rng.standard_normal((1, 96, 96, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+    assert got.shape == want.shape == (1, 96, 96)
+    err = np.abs(got - want).max()
+    scale = np.abs(want).max() + 1e-8
+    assert err / scale < 5e-4, (err, scale)
+
+
+def test_midas_v21_small_inference_wrapper():
+    """MiDaSInference with model_type=midas_v21_small: net size 256,
+    upper_bound resize, ImageNet normalization (api.py:46-49,105-112)."""
+    from instarevive_tpu.models.dpt import MidasNetSmall, build_midas
+
+    model = build_midas("midas_v21_small")
+    assert isinstance(model, MidasNetSmall)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 96, 96, 3)))["params"]
+    midas = MiDaSInference(model, params, model_type="midas_v21_small")
+    assert midas.net_size == 256 and midas.method == "upper_bound"
+    x = jnp.clip(jax.random.uniform(jax.random.key(1), (1, 120, 160, 3)), 0, 1)
+    depth = midas(x)
+    assert depth.shape == (1, 120, 160, 1)
+    assert bool(jnp.isfinite(depth).all())
