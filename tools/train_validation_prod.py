@@ -349,10 +349,14 @@ def main():
         t = jnp.full((noise.shape[0],), args.maxt, jnp.int32)
         return eps_to_x0(sched, eps_fn(p, noise, t), noise, t)
 
+    # keep only the param trees for eval: dropping the optimizer moments
+    # frees ~2.5 GiB so the decode passes below fit beside the generator
+    gen_params, gen_ema = gen_state.params, gen_state.ema_params
+    del gen_state
     rows = [
         ("init (= teacher weights, 1-step)", f32(teacher)),
-        ("trained 1-step (raw params)", gen_state.params),
-        ("trained 1-step (EMA)", f32(gen_state.ema_params)),
+        ("trained 1-step (raw params)", gen_params),
+        ("trained 1-step (EMA)", f32(gen_ema)),
     ]
 
     def lat01(z):
@@ -365,9 +369,18 @@ def main():
     vparams = vae.init(jax.random.key(args.seed + 7), zd, method=vae.decode)["params"]
 
     @jax.jit
-    def decode01(z):
+    def _decode01(z):
         img = vae.apply({"params": vparams}, z / VAE_SCALE, method=vae.decode)
         return jnp.clip((img.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0)
+
+    def decode01(z, b=2):
+        # chunked decode to host numpy: a single batched 512^2 decode of all
+        # held samples allocates ~0.7 GiB/sample of top-layer activations
+        # and OOMs beside the generator params (the first full-scale run
+        # died exactly here)
+        n = (z.shape[0] // b) * b
+        return np.concatenate(
+            [np.asarray(_decode01(z[i:i + b])) for i in range(0, n, b)])
 
     tgt01_lat = lat01(held_tgt)
     tgt01_pix = decode01(held_tgt)

@@ -65,6 +65,12 @@ def parse_args():
                    help="timestep importance sampler for --task cldm "
                         "(diffusion/timestep_sampler.py; reference "
                         "diffusion/model/timestep_sampler.py:27-120)")
+    p.add_argument("--trace_steps", type=int, default=0,
+                   help="capture a jax.profiler device-timeline trace of N "
+                        "mid-loop steps to <out>/trace (starts at "
+                        "--trace_at, after compile/warmup; parse with "
+                        "tools/trace_ops.py parse)")
+    p.add_argument("--trace_at", type=int, default=10)
     p.add_argument("--queue_size", type=int, default=256)
     p.add_argument("--dmd_noise_dir", default=None,
                    help="paired-noise dir (DMD dataset quadruples) — when set with "
@@ -453,10 +459,19 @@ def main():
         # device queue fed (<= 2 steps in flight) while the host prepares
         # the next batch.
         pending_metrics = None
+        trace_stop_at = None
         while step_i < args.steps:
             for batch in loader:
                 if step_i >= args.steps:
                     break
+                if args.trace_steps and step_i == args.trace_at:
+                    # drain in-flight work so the trace window is exactly
+                    # the steady-state loop (not a prior step's tail)
+                    jax.block_until_ready(jax.tree_util.tree_leaves(states))
+                    jax.profiler.start_trace(os.path.join(args.out, "trace"))
+                    trace_stop_at = args.trace_at + args.trace_steps
+                    logger.info(f"trace started at step {step_i} "
+                                f"({args.trace_steps} steps)")
                 key, dk, sk = jax.random.split(key, 3)
                 hq01 = jnp.asarray(batch["hq"], jnp.float32) / 255.0
                 data = degrade_jit(dk, shard_batch(hq01, mesh))
@@ -494,6 +509,13 @@ def main():
                 if metrics is not None:
                     buf.update(metrics)
                 step_i += 1
+                if trace_stop_at is not None and step_i >= trace_stop_at:
+                    jax.block_until_ready(jax.tree_util.tree_leaves(states))
+                    jax.profiler.stop_trace()
+                    trace_stop_at = None
+                    logger.info(
+                        f"trace stopped at step {step_i}; parse with "
+                        f"tools/trace_ops.py parse {args.out}/trace")
                 msg = timer.update()
                 if msg:
                     avg = buf.average()
