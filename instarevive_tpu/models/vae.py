@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from instarevive_tpu.ops.attention import attention
 from instarevive_tpu.ops.conv_fused import fused_upsample_enabled, upsample2x_conv3x3
 from instarevive_tpu.ops.gn_conv import gn_conv_enabled, gn_silu_conv3x3
+from instarevive_tpu.ops.int8_conv import conv2d_int8, int8_decode_enabled
 from instarevive_tpu.ops.resize import interpolate
 
 
@@ -62,10 +63,25 @@ class _ConvParams(nn.Module):
 class ResnetBlock(nn.Module):
     out_ch: int
     dtype: jnp.dtype = jnp.float32
+    # decoder-only int8 experiment hook (ops/int8_conv.py): the Decoder
+    # sets this True so IR_INT8_DECODE never touches the encoder
+    int8_ok: bool = False
 
     @nn.compact
     def __call__(self, x):
         cin = x.shape[-1]
+        if self.int8_ok and int8_decode_enabled():
+            h = _gn("norm1", self.dtype)(x)
+            h = nn.silu(h)
+            k1, cb1 = _ConvParams(cin, self.out_ch, name="conv1")()
+            h = conv2d_int8(h, k1, cb1, out_dtype=self.dtype)
+            h = _gn("norm2", self.dtype)(h)
+            h = nn.silu(h)
+            k2, cb2 = _ConvParams(self.out_ch, self.out_ch, name="conv2")()
+            h = conv2d_int8(h, k2, cb2, out_dtype=self.dtype)
+            if x.shape[-1] != self.out_ch:
+                x = nn.Conv(self.out_ch, (1, 1), dtype=self.dtype, name="nin_shortcut")(x)
+            return x + h
         fused = (
             gn_conv_enabled()
             and cin % 128 == 0
@@ -174,12 +190,13 @@ class Decoder(nn.Module):
     def __call__(self, z):
         block_in = self.ch * self.ch_mult[-1]
         h = nn.Conv(block_in, (3, 3), padding="SAME", dtype=self.dtype, name="conv_in")(z)
-        h = ResnetBlock(block_in, self.dtype, name="mid_block_1")(h)
+        h = ResnetBlock(block_in, self.dtype, int8_ok=True, name="mid_block_1")(h)
         h = AttnBlock(self.dtype, name="mid_attn_1")(h)
-        h = ResnetBlock(block_in, self.dtype, name="mid_block_2")(h)
+        h = ResnetBlock(block_in, self.dtype, int8_ok=True, name="mid_block_2")(h)
         for i in reversed(range(len(self.ch_mult))):
             for j in range(self.num_res_blocks + 1):
-                h = ResnetBlock(self.ch * self.ch_mult[i], self.dtype, name=f"up_{i}_block_{j}")(h)
+                h = ResnetBlock(self.ch * self.ch_mult[i], self.dtype, int8_ok=True,
+                                name=f"up_{i}_block_{j}")(h)
             if i != 0:
                 if fused_upsample_enabled():
                     # one lhs-dilated conv instead of materializing the 4x

@@ -1,0 +1,68 @@
+"""Opt-in int8-quantized 3x3 convs for the VAE decoder (IR_INT8_DECODE=1).
+
+Motivation (VERDICT r4 item 6): decode is 63.5 ms of the 171.5 ms b4
+512^2 pipeline and its 3x3 convs run ~40% bf16 MFU; v5e lists 2x int8 MXU
+peak (394 vs 197 TOPS), so s8xs8->s32 convs have headroom IF XLA lowers
+them to the int8 MXU path — gate-probed by tools/int8_conv_probe.py on
+the real chip before wiring anything in.
+
+Scheme: dynamic symmetric quantization — per-tensor activation scale
+(abs-max/127, one extra HBM pass) and per-output-channel weight scales,
+conv accumulates int32, dequantize in f32, bias added after. Weights are
+quantized at trace time from the served params (a one-pass cost per call;
+the conv weights are tiny next to the 512^2 activations). Quality is
+measured, not assumed: tests/test_int8_conv.py pins the kernel numerics
+and the decode-output PSNR vs the f32 path.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+
+def int8_decode_enabled() -> bool:
+    """IR_INT8_DECODE=1 switches the VAE decoder ResnetBlock 3x3 convs to
+    the quantized path (read at trace time, like the other vae toggles)."""
+    return os.environ.get("IR_INT8_DECODE", "0") == "1"
+
+
+def _quantize_per_tensor(x: jnp.ndarray):
+    amax = jnp.max(jnp.abs(x))
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _quantize_per_out_channel(w: jnp.ndarray):
+    # HWIO kernel: one scale per output channel (last axis)
+    amax = jnp.max(jnp.abs(w), axis=(0, 1, 2))
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def conv2d_int8(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    out_dtype: jnp.dtype | None = None,
+) -> jnp.ndarray:
+    """SAME-padded stride-1 conv computed s8 x s8 -> s32 on the MXU.
+
+    x: (N, H, W, Cin) any float dtype; kernel: (kh, kw, Cin, Cout) HWIO.
+    Returns f32 (or ``out_dtype``) dequantized output + bias.
+    """
+    xq, xs = _quantize_per_tensor(x.astype(jnp.float32))
+    kq, ks = _quantize_per_out_channel(kernel.astype(jnp.float32))
+    y = jax.lax.conv_general_dilated(
+        xq, kq, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * (xs * ks)[None, None, None, :]
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(out_dtype) if out_dtype is not None else y
