@@ -136,6 +136,9 @@ class FusedUpsampleConv(nn.Module):
 
     features: int
     dtype: jnp.dtype = jnp.float32
+    # decoder-only int8 hook (see ResnetBlock.int8_ok); SwinIR's upsampler
+    # reuses this module and stays bf16
+    int8_ok: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -144,6 +147,10 @@ class FusedUpsampleConv(nn.Module):
             (3, 3, x.shape[-1], self.features),
         )
         b = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.int8_ok and int8_decode_enabled():
+            from instarevive_tpu.ops.int8_conv import upsample2x_conv3x3_int8
+
+            return upsample2x_conv3x3_int8(x, k, b, out_dtype=self.dtype)
         return upsample2x_conv3x3(
             x.astype(self.dtype), k.astype(self.dtype), b.astype(self.dtype)
         )
@@ -203,7 +210,8 @@ class Decoder(nn.Module):
                     # intermediate (ops/conv_fused.py; exact equivalence,
                     # identical param tree to the nn.Conv path)
                     h = FusedUpsampleConv(
-                        h.shape[-1], self.dtype, name=f"up_{i}_upsample"
+                        h.shape[-1], self.dtype, int8_ok=True,
+                        name=f"up_{i}_upsample",
                     )(h)
                 else:
                     h = interpolate(h, scale_factor=2, mode="nearest")

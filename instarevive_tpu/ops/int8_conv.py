@@ -66,3 +66,29 @@ def conv2d_int8(
     if bias is not None:
         y = y + bias.astype(jnp.float32)
     return y.astype(out_dtype) if out_dtype is not None else y
+
+
+def upsample2x_conv3x3_int8(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    out_dtype: jnp.dtype | None = None,
+) -> jnp.ndarray:
+    """int8 variant of ops/conv_fused.upsample2x_conv3x3: the 3x3 kernel is
+    box-folded to 4x4 in f32 FIRST, then quantized per output channel, so
+    the quantization error matches a plain int8 conv (fold-then-quantize,
+    not quantize-then-fold)."""
+    from instarevive_tpu.ops.conv_fused import _box_fold_kernel
+
+    W = _box_fold_kernel(kernel.astype(jnp.float32))
+    xq, xs = _quantize_per_tensor(x.astype(jnp.float32))
+    wq, ws = _quantize_per_out_channel(W)
+    y = jax.lax.conv_general_dilated(
+        xq, wq, (1, 1), ((2, 2), (2, 2)), lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * (xs * ws)[None, None, None, :]
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(out_dtype) if out_dtype is not None else y

@@ -93,3 +93,18 @@ def test_int8_decode_never_touches_encoder(monkeypatch):
     monkeypatch.setenv("IR_INT8_DECODE", "1")
     m1 = vae.apply({"params": params}, x, method=vae.encode)[0]
     np.testing.assert_array_equal(np.asarray(m0), np.asarray(m1))
+
+
+def test_int8_upsample_conv_error_bounded():
+    from instarevive_tpu.ops.conv_fused import upsample2x_conv3x3
+    from instarevive_tpu.ops.int8_conv import upsample2x_conv3x3_int8
+
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((1, 12, 12, 24)).astype(np.float32)
+    w = (rng.standard_normal((3, 3, 24, 24)) * 0.1).astype(np.float32)
+    b = rng.standard_normal(24).astype(np.float32)
+    exact = upsample2x_conv3x3(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b))
+    q = upsample2x_conv3x3_int8(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b))
+    assert q.shape == exact.shape == (1, 24, 24, 24)
+    rel = float(jnp.sqrt(jnp.mean((q - exact) ** 2) / jnp.mean(exact ** 2)))
+    assert rel < 2e-2, rel
