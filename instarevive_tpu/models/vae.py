@@ -23,7 +23,11 @@ import jax.numpy as jnp
 from instarevive_tpu.ops.attention import attention
 from instarevive_tpu.ops.conv_fused import fused_upsample_enabled, upsample2x_conv3x3
 from instarevive_tpu.ops.gn_conv import gn_conv_enabled, gn_silu_conv3x3
-from instarevive_tpu.ops.int8_conv import conv2d_int8, int8_decode_enabled
+from instarevive_tpu.ops.int8_conv import (
+    conv2d_int8,
+    int8_decode_enabled,
+    int8_upsample_enabled,
+)
 from instarevive_tpu.ops.resize import interpolate
 
 
@@ -147,7 +151,11 @@ class FusedUpsampleConv(nn.Module):
             (3, 3, x.shape[-1], self.features),
         )
         b = self.param("bias", nn.initializers.zeros, (self.features,))
-        if self.int8_ok and int8_decode_enabled():
+        if self.int8_ok and int8_upsample_enabled():
+            # measured NEGATIVE (BENCH.md r5): quantizing the lhs-dilated
+            # upsample convs on top of IR_INT8_DECODE gained nothing
+            # (6.31 vs 6.34 MP/s, noise) and cost decode PSNR — kept as a
+            # separately-gated experiment, default off
             from instarevive_tpu.ops.int8_conv import upsample2x_conv3x3_int8
 
             return upsample2x_conv3x3_int8(x, k, b, out_dtype=self.dtype)

@@ -25,8 +25,16 @@ import jax.numpy as jnp
 
 def int8_decode_enabled() -> bool:
     """IR_INT8_DECODE=1 switches the VAE decoder ResnetBlock 3x3 convs to
-    the quantized path (read at trace time, like the other vae toggles)."""
+    the quantized path (read at trace time, like the other vae toggles).
+    Measured +3.8% end-to-end (6.34 vs 6.11 MP/s b4 512^2, BENCH.md r5)."""
     return os.environ.get("IR_INT8_DECODE", "0") == "1"
+
+
+def int8_upsample_enabled() -> bool:
+    """IR_INT8_UPSAMPLE=1 additionally quantizes the decoder's fused
+    upsample convs — measured NEGATIVE on v5e (no throughput gain over
+    IR_INT8_DECODE alone, extra quantization error); default off."""
+    return os.environ.get("IR_INT8_UPSAMPLE", "0") == "1"
 
 
 def _quantize_per_tensor(x: jnp.ndarray):
