@@ -109,12 +109,24 @@ def capture(stage: str, batch: int, size: int, iters: int, out_dir: str):
     y = jnp.zeros((batch, pipe.dit.model_max_length, pipe.dit.caption_channels),
                   jnp.float32)
 
+    from instarevive_tpu.data.realesrgan import (
+        RealESRGANDegradationConfig,
+        degrade_batch,
+    )
+
+    deg_cfg = RealESRGANDegradationConfig()
     fns = {
         "swinir": (jax.jit(lambda p, a: pipe.clean(p, a)), (params, lq)),
         "encode": (jax.jit(lambda p, a: pipe.encode(p, a)), (params, lq)),
         "dit": (jax.jit(lambda p, a, b: pipe.one_step(p, a, b)), (params, z, y)),
         "decode": (jax.jit(lambda p, a: pipe.decode(p, a)), (params, z)),
         "full": (jax.jit(lambda p, a, b: pipe.process(p, a, b)), (params, lq, y)),
+        # the train loop's on-device Real-ESRGAN synthesis (train.py
+        # degrade_jit) — 101.5 ms/step at b2 512² in the r5 loop trace
+        "degrade": (
+            jax.jit(lambda k, x: degrade_batch(k, x, deg_cfg)),
+            (key, lq),
+        ),
     }
     if stage not in fns:
         raise SystemExit(f"unknown stage {stage!r}; choose from {list(fns)}")
@@ -135,7 +147,7 @@ def main():
     sub = p.add_subparsers(dest="cmd", required=True)
     c = sub.add_parser("capture")
     c.add_argument("--stage", default="dit",
-                   choices=["swinir", "encode", "dit", "decode", "full"])
+                   choices=["swinir", "encode", "dit", "decode", "full", "degrade"])
     c.add_argument("--batch", type=int, default=1)
     c.add_argument("--size", type=int, default=512)
     c.add_argument("--iters", type=int, default=3)
