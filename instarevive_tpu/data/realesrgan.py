@@ -123,10 +123,17 @@ def _add_random_noise(key, img, cfg_g_prob, sigma_range, poisson_range, gray_pro
     sigma = jax.random.uniform(ks, (b,), minval=sigma_range[0], maxval=sigma_range[1])
     pscale = jax.random.uniform(ks2, (b,), minval=poisson_range[0], maxval=poisson_range[1])
     gray = (jax.random.uniform(kg, (b,)) < gray_prob).astype(jnp.float32)
-    g = generate_gaussian_noise(kn1, img, sigma, gray)
-    p = generate_poisson_noise(kn2, img, pscale, gray)
     use_g = jax.random.uniform(kp) < cfg_g_prob
-    return jnp.clip(img + jnp.where(use_g, g, p), 0.0, 1.0)
+    # lax.cond, not where: the unselected generator is real device work (the
+    # poisson path alone was ~50 ms/call at the 768^2 stage-1 canvas), and
+    # the reference likewise evaluates exactly one branch per batch
+    # (batch_transform.py:169-187).
+    noise = jax.lax.cond(
+        use_g,
+        lambda: generate_gaussian_noise(kn1, img, sigma, gray),
+        lambda: generate_poisson_noise(kn2, img, pscale, gray),
+    )
+    return jnp.clip(img + noise, 0.0, 1.0)
 
 
 def _rand_scale(key, prob, rng_range):
@@ -178,7 +185,9 @@ def degrade_batch(
 
     # ---- stage 2 ----
     blur2 = jax.random.uniform(keys[5]) < cfg.second_blur_prob
-    out = jnp.where(blur2, filter2d(out, kernel2), out)
+    # cond, not where: the 21x21 depthwise blur on the 768^2 canvas is
+    # ~16 ms/call — skip it for real on the (1 - p) branch.
+    out = jax.lax.cond(blur2, lambda o: filter2d(o, kernel2), lambda o: o, out)
 
     if isinstance(cfg.stage2_scale, (tuple, list)):
         s2min, s2max = cfg.stage2_scale
@@ -214,7 +223,7 @@ def degrade_batch(
         return filter2d(r, sinc_kernel)
 
     use_a = jax.random.uniform(keys[0]) < 0.5
-    out = jnp.where(use_a, order_a(out), order_b(out))
+    out = jax.lax.cond(use_a, order_a, order_b, out)
 
     # resize back to gt size (bicubic, batch_transform.py:252)
     out = _resize_traced(out, (h, w), (t2h, t2w), (float(h), float(w)), jnp.asarray(2))

@@ -257,11 +257,19 @@ def generate_gaussian_noise(
 
 
 def _count_unique_vals(img: jnp.ndarray) -> jnp.ndarray:
-    """Per-sample count of distinct 8-bit levels, as 2^ceil(log2(n))."""
+    """Per-sample count of distinct 8-bit levels, as 2^ceil(log2(n)).
+
+    Level presence is a compare+any reduction, not a bincount: on TPU,
+    bincount lowers to a serialized scatter-add (measured 31 ms for one
+    b2 768x768x3 canvas in the r5 train-loop trace) while the (n, 256)
+    equality broadcast fuses into the VPU reduce loop without ever
+    materializing. Only presence matters here, never the counts.
+    """
     b = img.shape[0]
-    q = jnp.clip(jnp.round(img * 255.0), 0, 255).astype(jnp.int32).reshape(b, -1)
-    hist = jax.vmap(lambda v: jnp.bincount(v, length=256))(q)
-    n = jnp.sum(hist > 0, axis=-1).astype(jnp.float32)
+    q = jnp.clip(jnp.round(img * 255.0), 0, 255).astype(jnp.uint8).reshape(b, -1)
+    levels = jnp.arange(256, dtype=jnp.uint8)
+    present = jnp.any(q[:, :, None] == levels, axis=1)
+    n = jnp.sum(present, axis=-1).astype(jnp.float32)
     return jnp.exp2(jnp.ceil(jnp.log2(n)))
 
 
@@ -270,16 +278,24 @@ def generate_poisson_noise(
 ) -> jnp.ndarray:
     """Shot noise matching generate_poisson_noise_pt (degradation.py:610)."""
     b = img.shape[0]
-    kc, kg = jax.random.split(key)
 
     imgq = jnp.clip(jnp.round(img * 255.0), 0, 255) / 255.0
     vals = _count_unique_vals(imgq).reshape(b, 1, 1, 1)
-    out = jax.random.poisson(kc, imgq * vals).astype(jnp.float32) / vals
-    noise = out - imgq
-
     gray_img = jnp.clip(jnp.round(_luma(img) * 255.0), 0, 255) / 255.0
     gvals = _count_unique_vals(gray_img).reshape(b, 1, 1, 1)
-    gout = jax.random.poisson(kg, gray_img * gvals).astype(jnp.float32) / gvals
+
+    # ONE flattened poisson draw covers the color and gray fields: separate
+    # draws pay two rejection while-loops, and the (B,H,W,1) gray tensor got
+    # a T(1,128) layout whose loop body ran 3x slower than the color one
+    # (r5 trace: 12.6 ms vs 4.4 ms/call at b2 768^2). Flat 1-D, the loop
+    # runs once over a densely tiled buffer.
+    lam = jnp.concatenate(
+        [(imgq * vals).reshape(-1), (gray_img * gvals).reshape(-1)]
+    )
+    draw = jax.random.poisson(key, lam).astype(jnp.float32)
+    out = draw[: imgq.size].reshape(imgq.shape) / vals
+    noise = out - imgq
+    gout = draw[imgq.size :].reshape(gray_img.shape) / gvals
     gnoise = jnp.broadcast_to(gout - gray_img, img.shape)
 
     gray = jnp.reshape(gray, (b, 1, 1, 1)).astype(jnp.float32)
