@@ -41,6 +41,41 @@ def test_filter2d_matches_torch():
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-5)
 
 
+def test_filter2d_pallas_matches_conv_path():
+    """The Pallas shifted-FMA plane kernel == the XLA grouped-conv path.
+
+    Exercised in interpret mode (the suite runs on CPU); on TPU the same
+    kernel is the default filter2d path for degradation-canvas shapes.
+    """
+    from instarevive_tpu.ops.filters import _filter2d_pallas
+
+    rng = np.random.default_rng(1)
+    for (b, h, w, c), k in [((2, 128, 128, 3), 21), ((1, 160, 256, 3), 13)]:
+        img = rng.random((b, h, w, c), dtype=np.float32)
+        kernels = rng.random((b, k, k), dtype=np.float32)
+        kernels /= kernels.sum(axis=(1, 2), keepdims=True)
+        ref = filter2d(jnp.asarray(img), jnp.asarray(kernels))
+        out = _filter2d_pallas(jnp.asarray(img), jnp.asarray(kernels), interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6, rtol=1e-5)
+
+
+def test_filter2d_strips_matches_conv_path():
+    """The strip-fold depthwise reformulation == the plain conv path (exact:
+    strips carry real halo rows). This is the default filter2d path on TPU."""
+    from instarevive_tpu.ops.filters import _filter2d_strips, _pick_strips
+
+    rng = np.random.default_rng(2)
+    for (b, h, w, c), k in [((2, 128, 128, 3), 21), ((1, 160, 96, 3), 13)]:
+        img = rng.random((b, h, w, c), dtype=np.float32)
+        kernels = rng.random((b, k, k), dtype=np.float32)
+        kernels /= kernels.sum(axis=(1, 2), keepdims=True)
+        s = _pick_strips(h, b * c)
+        assert s is not None and s > 1
+        ref = filter2d(jnp.asarray(img), jnp.asarray(kernels))
+        out = _filter2d_strips(jnp.asarray(img), jnp.asarray(kernels), s)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6, rtol=1e-5)
+
+
 def test_gaussian_kernel_matches_cv2():
     import cv2
 
