@@ -126,6 +126,11 @@ class SelfAttention(nn.Module):
     qk_norm: bool = False
     window_size: int = 0  # >0: ViT-det windowed attention (PixArt_blocks:161)
     dtype: jnp.dtype = jnp.float32
+    # sequence parallelism (parallel/sp.py): tokens arrive sharded over a
+    # 'seq' shard_map axis; K/V are all-gathered so every local query
+    # attends over the FULL sequence (exact attention, 2 gathers/block).
+    # No param-structure or numeric change when False (the default).
+    seq_parallel: bool = False
 
     @nn.compact
     def __call__(self, x, hw: Optional[Tuple[int, int]] = None):
@@ -169,6 +174,12 @@ class SelfAttention(nn.Module):
             gh, gw = hw if hw is not None else (int(n**0.5), int(n**0.5))
             k = self._downsample(k, gh, gw)
             v = self._downsample(v, gh, gw)
+
+        if self.seq_parallel:
+            # x (and so q/k/v) holds only this device's token shard; gather
+            # the full K/V so local queries see the exact global attention
+            k = jax.lax.all_gather(k, "seq", axis=1, tiled=True)
+            v = jax.lax.all_gather(v, "seq", axis=1, tiled=True)
 
         def heads(t):
             # constrain_heads: no-op single-device; under a 'tensor' mesh
@@ -240,6 +251,7 @@ class PixArtBlock(nn.Module):
     qk_norm: bool = False
     window_size: int = 0
     dtype: jnp.dtype = jnp.float32
+    seq_parallel: bool = False  # see SelfAttention.seq_parallel
 
     @nn.compact
     def __call__(self, x, y, t6, kv_mask=None, hw=None):
@@ -264,7 +276,7 @@ class PixArtBlock(nn.Module):
         h1 = h1 * (1 + scale_msa) + shift_msa
         x = x + gate_msa * SelfAttention(
             self.dim, self.num_heads, self.sampling, self.sr_ratio, self.qk_norm,
-            self.window_size, self.dtype, name="attn",
+            self.window_size, self.dtype, self.seq_parallel, name="attn",
         )(h1, hw=hw)
         x = x + CrossAttention(self.dim, self.num_heads, self.dtype, name="cross_attn")(
             x, y, kv_mask
