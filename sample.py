@@ -36,7 +36,19 @@ def main():
     p.add_argument("--cfg_scale", type=float, default=4.5)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--random_init", action="store_true")
+    p.add_argument("--seq_parallel", type=int, default=0,
+                   help="Shard the latent token axis over N devices "
+                        "(parallel/sp.py): exact global attention via "
+                        "per-block K/V all-gathers — the lever for giant "
+                        "un-tiled latents (2K/4K) past one chip")
+    p.add_argument("--pipeline_parallel", type=int, default=0,
+                   help="Run the DiT block stack GPipe-style over S "
+                        "devices (parallel/pp.py): stage-resident weights "
+                        "— the lever for models past one chip's HBM. "
+                        "Mutually exclusive with --seq_parallel")
     args = p.parse_args()
+    if args.seq_parallel > 1 and args.pipeline_parallel > 1:
+        p.error("--seq_parallel and --pipeline_parallel are mutually exclusive")
 
     import jax
     import jax.numpy as jnp
@@ -86,13 +98,41 @@ def main():
         lat_h = lat_w = args.image_size // 8
     shape = (b, lat_h, lat_w, 4)
 
+    # DiT forward dispatch: monolithic (default), sequence-parallel, or
+    # pipeline-parallel — both model-parallel paths are exact (tests +
+    # dryrun stages 3c/3d assert equality with the monolithic forward)
+    if args.pipeline_parallel > 1:
+        from instarevive_tpu.parallel.pp import (
+            make_pipe_mesh, pixart_pp_forward, shard_stacked, stack_block_params,
+        )
+
+        pp_mesh = make_pipe_mesh(args.pipeline_parallel)
+        pp_stacked = shard_stacked(
+            stack_block_params(params["dit"], pipe.dit.depth), pp_mesh
+        )
+
+        def dit_forward(x2, t2, y2):
+            return pixart_pp_forward(
+                pipe.dit, params["dit"], pp_mesh, x2, t2, y2,
+                microbatches=2, stacked=pp_stacked,
+            )
+    elif args.seq_parallel > 1:
+        from instarevive_tpu.parallel.sp import make_seq_mesh, pixart_sp_forward
+
+        sp_mesh = make_seq_mesh(args.seq_parallel)
+
+        def dit_forward(x2, t2, y2):
+            return pixart_sp_forward(pipe.dit, params["dit"], sp_mesh, x2, t2, y2)
+    else:
+        def dit_forward(x2, t2, y2):
+            return pipe.dit.apply({"params": params["dit"]}, x2, t2, y2, y_mask=None)
+
     def cfg_eps(x, t):
         """CFG on the eps half (forward_with_cfg math, PixArt.py:184-197)."""
         x2 = jnp.concatenate([x, x], axis=0)
         t2 = jnp.concatenate([t, t], axis=0)
         y2 = jnp.concatenate([y, null], axis=0)
-        out = pipe.dit.apply({"params": params["dit"]}, x2, t2.astype(jnp.float32), y2,
-                             y_mask=None)
+        out = dit_forward(x2, t2.astype(jnp.float32), y2)
         eps, rest = out[..., :4], out[..., 4:]
         ce, ue = jnp.split(eps, 2, axis=0)
         half = ue + args.cfg_scale * (ce - ue)

@@ -79,6 +79,38 @@ def test_sample_cli(tmp_path, algo):
     assert any(f.endswith(".png") for f in os.listdir(out))
 
 
+@pytest.mark.parametrize("flag,n", [("--seq_parallel", "4"), ("--pipeline_parallel", "2")])
+def test_sample_cli_model_parallel(tmp_path, flag, n):
+    """sample.py --seq_parallel / --pipeline_parallel: the model-parallel
+    DiT dispatch (parallel/sp.py, parallel/pp.py) runs the full sampling
+    CLI end-to-end and matches the monolithic run bit-for... well, to
+    sampler tolerance — the PNGs must agree (the parallel forwards are
+    exact to ~1e-6, tests/test_parallel_{sp,pp}.py)."""
+    from PIL import Image
+
+    env = _env()
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    )
+    outs = {}
+    for name, extra in [("mono", []), ("par", [flag, n])]:
+        out = tmp_path / name
+        res = subprocess.run(
+            [sys.executable, os.path.join(REPO, "sample.py"),
+             "--config", os.path.join(REPO, "configs", "tiny.yaml"),
+             "--random_init", "--image_size", "64", "--step", "4",
+             "--sampling_algo", "dpm-solver", "--output", str(out),
+             "--prompt", "x", *extra],
+            capture_output=True, text=True, env=env, cwd=REPO, timeout=600,
+        )
+        assert res.returncode == 0, res.stderr[-2000:]
+        png = next(f for f in os.listdir(out) if f.endswith(".png"))
+        outs[name] = np.asarray(Image.open(out / png), dtype=np.int16)
+    # uint8 quantization absorbs the ~1e-6 forward divergence almost
+    # everywhere; allow single-count rounding flips
+    assert np.abs(outs["mono"] - outs["par"]).max() <= 1
+
+
 def test_generate_data_info_and_pickout(tmp_path):
     """tools/generate_data_info.py + tools/pickout_img.py (VERDICT r2 item
     9): manifest fields match the reference layout; pickout copies the
