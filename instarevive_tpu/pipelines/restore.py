@@ -207,17 +207,29 @@ class RestorationPipeline:
             return img / 2.0 + 0.5
         return jax.lax.map(lambda zi: _dec(zi[None])[0], z)
 
-    def one_step(self, params, z_init, y, y_mask=None, c=None):
-        """eps at t=maxt -> x0 (generate_sample_1step, generate.py:22-42)."""
+    def one_step(self, params, z_init, y, y_mask=None, c=None, dit_forward=None):
+        """eps at t=maxt -> x0 (generate_sample_1step, generate.py:22-42).
+
+        ``dit_forward`` overrides the DiT call (model-parallel dispatch,
+        e.g. the pipeline-parallel path in :meth:`jitted_pp`); it receives
+        ``(params, z, t_f32, y, y_mask)`` and must return the raw DiT
+        output. No control branch under an override."""
         b = z_init.shape[0]
         t = jnp.full((b,), self.maxt, dtype=jnp.int32)
-        kwargs = {}
-        if c is not None:
-            kwargs = dict(c=c, control_depth=self.control_depth)
-        out = self.dit.apply(
-            {"params": params["dit"]}, z_init, t.astype(jnp.float32), y, y_mask=y_mask,
-            **kwargs,
-        )
+        if dit_forward is not None:
+            if c is not None:
+                raise NotImplementedError(
+                    "dit_forward override has no ControlNet branch"
+                )
+            out = dit_forward(params, z_init, t.astype(jnp.float32), y, y_mask)
+        else:
+            kwargs = {}
+            if c is not None:
+                kwargs = dict(c=c, control_depth=self.control_depth)
+            out = self.dit.apply(
+                {"params": params["dit"]}, z_init, t.astype(jnp.float32), y,
+                y_mask=y_mask, **kwargs,
+            )
         eps = out[..., : z_init.shape[-1]]
         return eps_to_x0(self.sched, eps, z_init, t)
 
@@ -234,6 +246,7 @@ class RestorationPipeline:
         color_fix: str = "wavelet",
         use_control: bool = False,
         batched_stages: bool = False,
+        dit_forward=None,
     ):
         """Non-tiled restoration of a x64-sized [0,1] NHWC batch.
 
@@ -252,7 +265,7 @@ class RestorationPipeline:
         stage1 = self.clean(params, lq, batched_stages) if use_swinir else lq
         z_init = self.encode(params, stage1, batched_stages)
         c = z_init if use_control else None
-        z0 = self.one_step(params, z_init, y, y_mask, c=c)
+        z0 = self.one_step(params, z_init, y, y_mask, c=c, dit_forward=dit_forward)
         out = self.decode(params, z0, batched_stages)
         if color_fix == "wavelet":
             out = wavelet_color_fix(out, stage1)
@@ -431,4 +444,53 @@ class RestorationPipeline:
                     os.environ.pop("IR_ATTN_IMPL", None)
                 else:
                     os.environ["IR_ATTN_IMPL"] = old
+        return call
+
+    def jitted_pp(self, mesh, *, microbatches: int = 2, **kw) -> Callable:
+        """Pipeline-parallel serving (beyond reference — parallel/pp.py):
+        the DiT block stack runs GPipe-style over the mesh's 'pipe' axis
+        with stage-resident weights, while SwinIR/VAE/color-fix stay
+        replicated (<15% of pipeline FLOPs). This is the serving-memory
+        lever: the blocks (90%+ of DiT params) are STRIPPED from the
+        replicated param tree and enter only as the 'pipe'-sharded stacked
+        operand, so no device ever materializes the full DiT. Plain
+        ``process`` only (no ControlNet branch, homogeneous block stack —
+        ``pixart_pp_forward`` asserts both); batch must be a multiple of
+        ``microbatches`` (serve.py pads)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from instarevive_tpu.parallel.pp import (
+            pixart_pp_forward, shard_stacked, stack_block_params,
+        )
+
+        def fn(params, stacked, lq, y):
+            def dit_fwd(p, z, t, yy, y_mask):
+                return pixart_pp_forward(
+                    self.dit, p["dit"], mesh, z, t, yy, y_mask,
+                    microbatches=microbatches, stacked=stacked,
+                )
+
+            return self.process(
+                params, lq, y, batched_stages=True, dit_forward=dit_fwd, **kw
+            )
+
+        rep = NamedSharding(mesh, P())
+        stk = NamedSharding(mesh, P("pipe"))
+        jf = jax.jit(fn, in_shardings=(rep, stk, rep, rep), out_shardings=rep)
+        cache: dict = {}
+
+        def call(params, x, y):
+            key = id(params)
+            if cache.get("key") != key:
+                stacked = shard_stacked(
+                    stack_block_params(params["dit"], self.dit.depth), mesh
+                )
+                slim = dict(params)
+                slim["dit"] = {
+                    k: v for k, v in params["dit"].items()
+                    if not k.startswith("blocks_")
+                }
+                cache.update(key=key, slim=slim, stacked=stacked)
+            return jf(cache["slim"], cache["stacked"], x, y)
+
         return call

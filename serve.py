@@ -46,7 +46,18 @@ def main():
                         "vs --data_parallel's throughput scaling. "
                         "Composes with --data_parallel (data x tensor "
                         "devices total).")
+    p.add_argument("--pipeline_parallel", type=int, default=0,
+                   help="GPipe pipeline parallelism over S devices "
+                        "(parallel/pp.py): the DiT block stack runs "
+                        "stage-resident (depth/S blocks per device, blocks "
+                        "stripped from the replicated tree) — the "
+                        "serving-memory lever for DiTs past one chip's "
+                        "HBM. Mutually exclusive with the other mesh "
+                        "flags; batches are padded to an even size.")
     args = p.parse_args()
+    if args.pipeline_parallel > 1 and (args.tensor_parallel > 1 or args.data_parallel > 1):
+        p.error("--pipeline_parallel is mutually exclusive with "
+                "--data_parallel/--tensor_parallel")
 
     import jax
     import jax.numpy as jnp
@@ -71,7 +82,13 @@ def main():
 
     mesh = None
     tp_mesh = None
-    if args.tensor_parallel > 1:
+    pp_mesh = None
+    pp_microbatches = 2
+    if args.pipeline_parallel > 1:
+        from instarevive_tpu.parallel.pp import make_pipe_mesh
+
+        pp_mesh = make_pipe_mesh(args.pipeline_parallel)
+    elif args.tensor_parallel > 1:
         from instarevive_tpu.parallel.mesh import make_mesh
 
         dp = max(args.data_parallel, 1)
@@ -89,7 +106,11 @@ def main():
 
     def get_fn(h, w):
         if (h, w) not in fns:
-            if tp_mesh is not None:
+            if pp_mesh is not None:
+                fns[(h, w)] = pipe.jitted_pp(
+                    pp_mesh, microbatches=pp_microbatches, color_fix="wavelet"
+                )
+            elif tp_mesh is not None:
                 fns[(h, w)] = pipe.jitted_tp(tp_mesh, color_fix="wavelet")
             elif mesh is not None:
                 fns[(h, w)] = pipe.jitted_sharded(mesh, color_fix="wavelet")
@@ -124,6 +145,9 @@ def main():
                 # pad to a mesh-size multiple (replicate the last request)
                 pad = args.data_parallel - len(xs) % args.data_parallel
                 xs = xs + [xs[-1]] * pad
+            elif pp_mesh is not None and len(xs) % pp_microbatches:
+                # the GPipe schedule needs batch % microbatches == 0
+                xs = xs + [xs[-1]] * (pp_microbatches - len(xs) % pp_microbatches)
             x = jnp.asarray(np.stack(xs), jnp.float32)
             yy = jnp.asarray(np.repeat(y1, len(xs), axis=0), jnp.float32)
             out = np.asarray(get_fn(h, w)(params, x, yy))

@@ -71,6 +71,37 @@ def test_tensor_parallel_process_matches_unsharded():
     np.testing.assert_allclose(out_tp, np.asarray(ref), atol=2e-4, rtol=2e-4)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs a multi-device mesh")
+def test_pipeline_parallel_process_matches_unsharded():
+    """GPipe serving path (beyond reference — parallel/pp.py via
+    RestorationPipeline.jitted_pp, serve.py --pipeline_parallel): the DiT
+    stage-resident over 'pipe' with the blocks stripped from the
+    replicated tree, full restore output == single-device pipeline. Second
+    call exercises the stack-once cache."""
+    from instarevive_tpu.config import load_config
+    from instarevive_tpu.parallel.pp import make_pipe_mesh
+    from instarevive_tpu.pipelines.build import build_pipeline, init_params
+
+    cfg = load_config(os.path.join(REPO, "configs", "tiny.yaml"))
+    pipe = build_pipeline(cfg)
+    params = init_params(pipe, seed=0)
+
+    mesh = make_pipe_mesh(2)  # tiny.yaml depth=2 -> one block per stage
+    b = 2
+    lq = jnp.asarray(
+        np.random.default_rng(2).uniform(0.2, 0.8, (b, 64, 64, 3)), jnp.float32
+    )
+    y = jnp.zeros((b, pipe.dit.model_max_length, pipe.dit.caption_channels))
+
+    pp_fn = pipe.jitted_pp(mesh, microbatches=2, color_fix="wavelet")
+    out_pp = np.asarray(pp_fn(params, lq, y))
+    ref = pipe.process(params, lq, y, color_fix="wavelet")
+    np.testing.assert_allclose(out_pp, np.asarray(ref), atol=2e-4, rtol=2e-4)
+    # cached-stack second call, different input
+    out2 = np.asarray(pp_fn(params, lq[::-1], y))
+    np.testing.assert_allclose(out2, np.asarray(ref)[::-1], atol=2e-4, rtol=2e-4)
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs a multi-device mesh")
 def test_tp_shards_params_and_splits_heads():
     """The TP layout is real: row/column-parallel kernels are actually
