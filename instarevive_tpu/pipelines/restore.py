@@ -446,6 +446,29 @@ class RestorationPipeline:
                     os.environ["IR_ATTN_IMPL"] = old
         return call
 
+    def jitted_sp(self, mesh, **kw) -> Callable:
+        """Sequence-parallel serving (beyond reference — parallel/sp.py):
+        the DiT's latent token axis sharded over the mesh's 'seq' axis
+        with per-block K/V all-gathers (exact global attention) — the
+        lever for giant UN-TILED restorations where one chip's N² DiT
+        attention no longer fits or dominates. Params stay replicated (SP
+        shards activations, not weights); token count (H/16)·(W/16) is a
+        multiple of 16 after the CLI's x64 padding, so any 'seq' size up
+        to 16 divides it. Plain ``process`` only (no ControlNet branch,
+        homogeneous stack — ``pixart_sp_forward`` asserts)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from instarevive_tpu.parallel.sp import pixart_sp_forward
+
+        def dit_fwd(p, z, t, yy, y_mask):
+            return pixart_sp_forward(self.dit, p["dit"], mesh, z, t, yy, y_mask)
+
+        fn = partial(
+            self.process, batched_stages=True, dit_forward=dit_fwd, **kw
+        )
+        rep = NamedSharding(mesh, P())
+        return jax.jit(fn, in_shardings=(rep, rep, rep), out_shardings=rep)
+
     def jitted_pp(self, mesh, *, microbatches: int = 2, **kw) -> Callable:
         """Pipeline-parallel serving (beyond reference — parallel/pp.py):
         the DiT block stack runs GPipe-style over the mesh's 'pipe' axis

@@ -54,10 +54,20 @@ def main():
                         "serving-memory lever for DiTs past one chip's "
                         "HBM. Mutually exclusive with the other mesh "
                         "flags; batches are padded to an even size.")
+    p.add_argument("--seq_parallel", type=int, default=0,
+                   help="sequence/context parallelism over N devices "
+                        "(parallel/sp.py): the DiT's latent token axis "
+                        "is sharded with per-block K/V all-gathers "
+                        "(exact global attention) — the lever for giant "
+                        "un-tiled restorations. Mutually exclusive with "
+                        "the other mesh flags.")
     args = p.parse_args()
-    if args.pipeline_parallel > 1 and (args.tensor_parallel > 1 or args.data_parallel > 1):
-        p.error("--pipeline_parallel is mutually exclusive with "
-                "--data_parallel/--tensor_parallel")
+    n_mesh_flags = sum(
+        1 for v in (args.pipeline_parallel, args.seq_parallel) if v > 1
+    ) + (1 if (args.tensor_parallel > 1 or args.data_parallel > 1) else 0)
+    if n_mesh_flags > 1:
+        p.error("--pipeline_parallel / --seq_parallel are mutually exclusive "
+                "with each other and with --data_parallel/--tensor_parallel")
 
     import jax
     import jax.numpy as jnp
@@ -83,11 +93,16 @@ def main():
     mesh = None
     tp_mesh = None
     pp_mesh = None
+    sp_mesh = None
     pp_microbatches = 2
     if args.pipeline_parallel > 1:
         from instarevive_tpu.parallel.pp import make_pipe_mesh
 
         pp_mesh = make_pipe_mesh(args.pipeline_parallel)
+    elif args.seq_parallel > 1:
+        from instarevive_tpu.parallel.sp import make_seq_mesh
+
+        sp_mesh = make_seq_mesh(args.seq_parallel)
     elif args.tensor_parallel > 1:
         from instarevive_tpu.parallel.mesh import make_mesh
 
@@ -110,6 +125,8 @@ def main():
                 fns[(h, w)] = pipe.jitted_pp(
                     pp_mesh, microbatches=pp_microbatches, color_fix="wavelet"
                 )
+            elif sp_mesh is not None:
+                fns[(h, w)] = pipe.jitted_sp(sp_mesh, color_fix="wavelet")
             elif tp_mesh is not None:
                 fns[(h, w)] = pipe.jitted_tp(tp_mesh, color_fix="wavelet")
             elif mesh is not None:

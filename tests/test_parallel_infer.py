@@ -102,6 +102,33 @@ def test_pipeline_parallel_process_matches_unsharded():
     np.testing.assert_allclose(out2, np.asarray(ref)[::-1], atol=2e-4, rtol=2e-4)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs a multi-device mesh")
+def test_sequence_parallel_process_matches_unsharded():
+    """SP serving path (beyond reference — parallel/sp.py via
+    RestorationPipeline.jitted_sp, serve.py --seq_parallel): the DiT's
+    latent token axis sharded with per-block K/V all-gathers, full restore
+    output == single-device pipeline."""
+    from instarevive_tpu.config import load_config
+    from instarevive_tpu.parallel.sp import make_seq_mesh
+    from instarevive_tpu.pipelines.build import build_pipeline, init_params
+
+    cfg = load_config(os.path.join(REPO, "configs", "tiny.yaml"))
+    pipe = build_pipeline(cfg)
+    params = init_params(pipe, seed=0)
+
+    mesh = make_seq_mesh(4)  # 16 latent tokens -> 4 per device
+    b = 2
+    lq = jnp.asarray(
+        np.random.default_rng(3).uniform(0.2, 0.8, (b, 64, 64, 3)), jnp.float32
+    )
+    y = jnp.zeros((b, pipe.dit.model_max_length, pipe.dit.caption_channels))
+
+    sp_fn = pipe.jitted_sp(mesh, color_fix="wavelet")
+    out_sp = np.asarray(sp_fn(params, lq, y))
+    ref = pipe.process(params, lq, y, color_fix="wavelet")
+    np.testing.assert_allclose(out_sp, np.asarray(ref), atol=2e-4, rtol=2e-4)
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs a multi-device mesh")
 def test_tp_shards_params_and_splits_heads():
     """The TP layout is real: row/column-parallel kernels are actually
